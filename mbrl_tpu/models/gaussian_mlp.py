@@ -1,0 +1,314 @@
+"""Probabilistic ensemble MLP (the PETS/MBPO workhorse dynamics model).
+
+Capability parity with the reference ``mbrl/models/gaussian_mlp.py`` (ensemble of MLPs
+predicting per-output mean and soft-bounded log-variance, Gaussian NLL loss with logvar
+bound regularizer :291-305, elite subsetting :377-379, per-member MSE eval :337-361,
+truncated-normal init mbrl/models/util.py:15-28), re-designed TPU-first:
+
+  - all ensemble members evaluate in ONE batched einsum over a leading member axis
+    (the reference's ``EnsembleLinearLayer`` bmm, mbrl/models/util.py:31-77, becomes an
+    ``ebi,eio->ebo`` contraction — large MXU matmuls, no Python loops);
+  - uncertainty propagation computes every (elite) member's output and gathers rows by
+    propagation index. The reference instead permutes + reshards the batch so each
+    member sees B/E rows (gaussian_mlp.py:156-216) — an approximation it documents
+    (gaussian_mlp.py:267-274); under vmap the full-ensemble compute is already paid,
+    so exact index-selection is both simpler and exact;
+  - elite subsetting is a fixed-size parameter gather (num_elites static), so rollout
+    programs have static shapes;
+  - parameters are a plain pytree; randomness is explicit PRNG keys (fixing the
+    reference's torch.Generator segfault workaround, gaussian_mlp.py:379-380).
+
+Config is static Python; everything dynamic (including elite indices) lives in the
+params pytree so checkpoints capture it and jitted programs treat it as data.
+"""
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from mbrl_tpu.ops.math import truncated_normal_init
+
+Params = Dict[str, Any]
+
+_ACTIVATIONS: Dict[str, Callable[[jax.Array], jax.Array]] = {
+    "relu": jax.nn.relu,
+    "silu": jax.nn.silu,
+    "swish": jax.nn.silu,
+    "tanh": jnp.tanh,
+    "elu": jax.nn.elu,
+    "gelu": jax.nn.gelu,
+    "leaky_relu": jax.nn.leaky_relu,
+}
+
+LOGVAR_BOUND_WEIGHT = 0.01  # weight of the max/min logvar regularizer (reference :304)
+
+
+class GaussianMLP:
+    """Ensemble of Gaussian MLPs evaluated as one batched program.
+
+    Output head predicts ``2*out_size`` values (mean, raw logvar) unless
+    ``deterministic``. Logvar is soft-bounded between learned/fixed min/max bounds.
+    """
+
+    def __init__(
+        self,
+        in_size: int,
+        out_size: int,
+        num_layers: int = 4,
+        ensemble_size: int = 1,
+        hid_size: int = 200,
+        deterministic: bool = False,
+        propagation_method: Optional[str] = None,
+        learn_logvar_bounds: bool = False,
+        activation: str = "relu",
+        compute_dtype=jnp.float32,
+    ):
+        if activation not in _ACTIVATIONS:
+            raise ValueError(
+                f"Unknown activation {activation!r}; options: {sorted(_ACTIVATIONS)}"
+            )
+        self.in_size = in_size
+        self.out_size = out_size
+        self.num_layers = num_layers
+        self.ensemble_size = ensemble_size
+        self.hid_size = hid_size
+        self.deterministic = deterministic
+        self.propagation_method = propagation_method
+        self.learn_logvar_bounds = learn_logvar_bounds
+        self.activation = _ACTIVATIONS[activation]
+        self.compute_dtype = compute_dtype
+
+    # ------------------------------------------------------------------ #
+    # Params
+    # ------------------------------------------------------------------ #
+    @property
+    def num_members(self) -> int:
+        return self.ensemble_size
+
+    def __len__(self) -> int:
+        return self.ensemble_size
+
+    def init(self, key: jax.Array) -> Params:
+        """Initialize parameters: truncated-normal weights (std 1/(2*sqrt(fan_in))),
+        zero biases, logvar bounds at (-10, 0.5), elites = all members."""
+        e = self.ensemble_size
+        dims = [self.in_size] + [self.hid_size] * self.num_layers
+        head_out = self.out_size if self.deterministic else 2 * self.out_size
+        keys = jax.random.split(key, self.num_layers + 1)
+
+        layers = []
+        for i in range(self.num_layers):
+            layers.append(
+                {
+                    "w": truncated_normal_init(
+                        keys[i], (e, dims[i], dims[i + 1]), fan_in=dims[i]
+                    ),
+                    "b": jnp.zeros((e, 1, dims[i + 1])),
+                }
+            )
+        params: Params = {
+            "layers": layers,
+            "head": {
+                "w": truncated_normal_init(
+                    keys[-1], (e, self.hid_size, head_out), fan_in=self.hid_size
+                ),
+                "b": jnp.zeros((e, 1, head_out)),
+            },
+            # all members are elite until the trainer ranks them
+            "elite": jnp.arange(e, dtype=jnp.int32),
+        }
+        if not self.deterministic:
+            params["min_logvar"] = -10.0 * jnp.ones((1, self.out_size))
+            params["max_logvar"] = 0.5 * jnp.ones((1, self.out_size))
+        return params
+
+    def num_elites(self, params: Params) -> int:
+        return int(params["elite"].shape[0])
+
+    def set_elite(self, params: Params, elite_indices) -> Params:
+        """Return params with a new elite set (stored as data in the pytree)."""
+        new = dict(params)
+        new["elite"] = jnp.asarray(elite_indices, dtype=jnp.int32)
+        return new
+
+    def _elite_view(self, params: Params) -> Params:
+        """Gather the elite members' weights (fixed-size gather; static shapes)."""
+        if self.ensemble_size == 1:
+            return params
+        elite = params["elite"]
+
+        def take(leaf):
+            return jnp.take(leaf, elite, axis=0)
+
+        return {
+            "layers": [{"w": take(l["w"]), "b": take(l["b"])} for l in params["layers"]],
+            "head": {"w": take(params["head"]["w"]), "b": take(params["head"]["b"])},
+            "elite": jnp.arange(elite.shape[0], dtype=jnp.int32),
+            **(
+                {}
+                if self.deterministic
+                else {
+                    "min_logvar": params["min_logvar"],
+                    "max_logvar": params["max_logvar"],
+                }
+            ),
+        }
+
+    # ------------------------------------------------------------------ #
+    # Forward
+    # ------------------------------------------------------------------ #
+    def forward(
+        self, params: Params, x: jax.Array, use_only_elite: bool = False
+    ) -> Tuple[jax.Array, Optional[jax.Array]]:
+        """All-member forward.
+
+        ``x`` is ``(B, in)`` (broadcast to every member) or ``(E, B, in)``.
+        Returns ``(mean, logvar)`` with shape ``(E', B, out)`` where E' is the number
+        of members used (elites if ``use_only_elite``). Logvar is None when
+        deterministic.
+        """
+        p = self._elite_view(params) if use_only_elite else params
+        num_used = p["head"]["w"].shape[0]
+        h = x.astype(self.compute_dtype)
+        if h.ndim == 2:
+            h = jnp.broadcast_to(h, (num_used,) + h.shape)
+        for layer in p["layers"]:
+            h = jnp.einsum(
+                "ebi,eio->ebo", h, layer["w"], preferred_element_type=jnp.float32
+            )
+            h = self.activation(h + layer["b"])
+        out = jnp.einsum(
+            "ebi,eio->ebo", h, p["head"]["w"], preferred_element_type=jnp.float32
+        )
+        out = out + p["head"]["b"]
+        if self.deterministic:
+            return out, None
+        mean = out[..., : self.out_size]
+        logvar = out[..., self.out_size :]
+        # soft double-bounding keeps logvar in (min_logvar, max_logvar) smoothly
+        logvar = p["max_logvar"] - jax.nn.softplus(p["max_logvar"] - logvar)
+        logvar = p["min_logvar"] + jax.nn.softplus(logvar - p["min_logvar"])
+        return mean, logvar
+
+    def forward_propagated(
+        self,
+        params: Params,
+        x: jax.Array,
+        key: Optional[jax.Array] = None,
+        propagation_indices: Optional[jax.Array] = None,
+    ) -> Tuple[jax.Array, Optional[jax.Array]]:
+        """Rollout-time forward that collapses the ensemble axis per the configured
+        propagation method (over ELITE members). ``x`` is ``(B, in)``; returns
+        ``(B, out)`` mean/logvar."""
+        method = self.propagation_method
+        if method is None or self.ensemble_size == 1:
+            mean, logvar = self.forward(params, x)
+            if self.ensemble_size == 1:
+                return mean[0], None if logvar is None else logvar[0]
+            return mean, logvar
+        mean, logvar = self.forward(params, x, use_only_elite=True)
+        num_used = mean.shape[0]
+        batch = x.shape[0]
+        if method == "random_model":
+            if key is None:
+                raise ValueError("random_model propagation requires a PRNG key")
+            idx = jax.random.randint(key, (batch,), 0, num_used)
+        elif method == "fixed_model":
+            if propagation_indices is None:
+                raise ValueError("fixed_model propagation requires propagation_indices")
+            idx = propagation_indices
+        elif method == "expectation":
+            m = mean.mean(axis=0)
+            lv = None if logvar is None else logvar.mean(axis=0)
+            return m, lv
+        else:
+            raise ValueError(f"Invalid propagation method {method}.")
+        gather = idx[None, :, None]
+        m = jnp.take_along_axis(mean, gather, axis=0)[0]
+        lv = None if logvar is None else jnp.take_along_axis(logvar, gather, axis=0)[0]
+        return m, lv
+
+    # ------------------------------------------------------------------ #
+    # Losses
+    # ------------------------------------------------------------------ #
+    def loss(
+        self, params: Params, model_in: jax.Array, target: jax.Array
+    ) -> Tuple[jax.Array, Dict[str, Any]]:
+        """Training loss over ``(E, B, in)/(E, B, out)`` (or 2-D, auto-lifted).
+
+        Probabilistic: per-member Gaussian NLL (mean over batch and output dim,
+        summed over members) + logvar-bound regularizer. Deterministic: summed MSE.
+        """
+        if model_in.ndim == 2:
+            model_in = model_in[None]
+            target = target[None]
+        if target.shape[0] != self.ensemble_size:
+            target = jnp.broadcast_to(target, (self.ensemble_size,) + target.shape[1:])
+        mean, logvar = self.forward(params, model_in)
+        if self.deterministic:
+            return jnp.sum(jnp.square(mean - target)), {}
+        nll_elem = jnp.square(mean - target) * jnp.exp(-logvar) + logvar
+        nll = nll_elem.mean(axis=(1, 2)).sum()
+        nll = nll + LOGVAR_BOUND_WEIGHT * (
+            params["max_logvar"].sum() - params["min_logvar"].sum()
+        )
+        return nll, {}
+
+    def eval_score(
+        self, params: Params, model_in: jax.Array, target: jax.Array
+    ) -> Tuple[jax.Array, Dict[str, Any]]:
+        """Per-member squared error on un-bootstrapped data: ``(E, B, out)``."""
+        mean, _ = self.forward(params, model_in)
+        target = jnp.broadcast_to(target, mean.shape)
+        return jnp.square(mean - target), {}
+
+    # ------------------------------------------------------------------ #
+    # Simulation contract (used via TransitionRewardModel by ModelEnv)
+    # ------------------------------------------------------------------ #
+    def sample_propagation_indices(self, batch_size: int, key: jax.Array) -> jax.Array:
+        """Per-row elite-member assignment for TSinf (fixed_model) propagation.
+
+        Deals members round-robin over a random permutation of the batch, mirroring
+        the reference's equal-shard semantics (gaussian_mlp.py:377-393) without the
+        B % E divisibility requirement.
+        """
+        perm = jax.random.permutation(key, batch_size)
+        member_of_rank = jnp.arange(batch_size, dtype=jnp.int32) % jnp.int32(
+            max(self.ensemble_size, 1)
+        )
+        idx = jnp.zeros((batch_size,), dtype=jnp.int32).at[perm].set(member_of_rank)
+        return idx
+
+    def reset_1d(self, obs: jax.Array, key: jax.Array) -> Dict[str, jax.Array]:
+        """Initial per-trajectory model state: propagation indices (always present so
+        the state pytree has a fixed structure under jit)."""
+        batch = obs.shape[0]
+        if self.propagation_method == "fixed_model":
+            indices = self.sample_propagation_indices(batch, key)
+        else:
+            indices = jnp.zeros((batch,), dtype=jnp.int32)
+        return {"obs": obs, "propagation_indices": indices}
+
+    def sample_1d(
+        self,
+        params: Params,
+        model_input: jax.Array,
+        model_state: Dict[str, jax.Array],
+        key: jax.Array,
+        deterministic: bool = False,
+    ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
+        """One stochastic transition: propagated Gaussian head, reparameterized draw."""
+        k_prop, k_noise = jax.random.split(key)
+        mean, logvar = self.forward_propagated(
+            params,
+            model_input,
+            key=k_prop,
+            propagation_indices=model_state["propagation_indices"],
+        )
+        if deterministic or self.deterministic or logvar is None:
+            return mean, model_state
+        std = jnp.exp(0.5 * logvar)
+        sample = mean + std * jax.random.normal(k_noise, mean.shape, mean.dtype)
+        return sample, model_state

@@ -1,0 +1,253 @@
+"""Generic dynamics-model training loop with per-member early stopping and elites.
+
+Capability parity with the reference ``mbrl/models/model_trainer.py`` (Adam with
+coupled weight decay :63-68, per-epoch update loop :146-157, un-bootstrapped
+per-member validation :216-262, any-member relative-improvement early stopping with
+patience :264-286, best-weights snapshot + elite selection :288-296, train/epoch
+callbacks :106-121).
+
+Re-design for TPU:
+  - a whole epoch of minibatches is ONE jitted program: the stacked epoch pytree
+    (from ``mbrl_tpu.util.stack_iterator``) is uploaded once and consumed by
+    ``lax.scan``, each scan step doing grad + optimizer update. The reference instead
+    round-trips host->device per minibatch;
+  - "best weights snapshot/restore" is free: params pytrees are immutable, so the
+    snapshot is just a reference (the reference deepcopies a state_dict);
+  - early stopping / patience stays as a host loop around the jitted epoch, since it
+    is data-dependent control flow (SURVEY.md §7 "hard parts").
+"""
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from mbrl_tpu.ops.tree import combine_params, partition_params
+from mbrl_tpu.types import TransitionBatch
+
+
+class ModelTrainer:
+    """Trainer for TransitionRewardModel-wrapped ensembles."""
+
+    _LOG_GROUP_NAME = "model_train"
+
+    def __init__(
+        self,
+        model,
+        optim_lr: float = 1e-4,
+        weight_decay: float = 1e-5,
+        optim_eps: float = 1e-8,
+        logger=None,
+    ):
+        self.model = model
+        self.logger = logger
+        if logger is not None:
+            logger.register_group(
+                self._LOG_GROUP_NAME,
+                [
+                    ("train_iteration", "I", "int"),
+                    ("epoch", "E", "int"),
+                    ("train_dataset_size", "TD", "int"),
+                    ("val_dataset_size", "VD", "int"),
+                    ("model_loss", "MLOSS", "float"),
+                    ("model_val_score", "MVSCORE", "float"),
+                    ("model_best_val_score", "MBVSCORE", "float"),
+                ],
+                color="blue",
+            )
+        self._train_iteration = 0
+        # torch.optim.Adam(weight_decay=wd) couples L2 into the gradient before the
+        # Adam moments — optax equivalent is add_decayed_weights THEN adam.
+        self.optimizer = optax.chain(
+            optax.add_decayed_weights(weight_decay), optax.adam(optim_lr, eps=optim_eps)
+        )
+        self._jit_epoch = jax.jit(self._epoch_impl)
+        self._jit_eval = jax.jit(self._eval_impl)
+
+    # ------------------------------------------------------------------ #
+    # Jitted programs
+    # ------------------------------------------------------------------ #
+    def _loss_fn(self, diff, static, normalizer, batch: TransitionBatch):
+        params = combine_params(diff, static)
+        state = {"params": params, "normalizer": normalizer}
+        loss, _ = self.model.loss(state, batch)
+        return loss
+
+    def _epoch_impl(self, params, opt_state, normalizer, stacked: TransitionBatch):
+        """Scan one full epoch of minibatch updates; returns mean train loss.
+
+        Gradients/optimizer run over the float leaves only (int data leaves like the
+        elite indices ride along untouched)."""
+        diff, static = partition_params(params)
+
+        def step(carry, batch):
+            diff, opt_state = carry
+            loss, grads = jax.value_and_grad(self._loss_fn)(
+                diff, static, normalizer, batch
+            )
+            updates, opt_state = self.optimizer.update(grads, opt_state, diff)
+            diff = optax.apply_updates(diff, updates)
+            return (diff, opt_state), loss
+
+        (diff, opt_state), losses = jax.lax.scan(step, (diff, opt_state), stacked)
+        return combine_params(diff, static), opt_state, losses.mean()
+
+    def _eval_impl(self, params, normalizer, batch: TransitionBatch) -> jax.Array:
+        """Per-member validation score: mean squared error over batch and output dim
+        -> shape (E,)."""
+        state = {"params": params, "normalizer": normalizer}
+        score, _ = self.model.eval_score(state, batch)
+        if score.ndim == 2:  # non-ensemble
+            score = score[None]
+        return score.mean(axis=(1, 2))
+
+    # ------------------------------------------------------------------ #
+    # Host loop
+    # ------------------------------------------------------------------ #
+    @staticmethod
+    def _improved_members(
+        best: np.ndarray, current: np.ndarray, threshold: float
+    ) -> np.ndarray:
+        return ((best - current) / np.maximum(np.abs(best), 1e-12)) > threshold
+
+    def train(
+        self,
+        state: Dict[str, Any],
+        dataset_train,
+        dataset_val=None,
+        num_epochs: Optional[int] = None,
+        patience: Optional[int] = None,
+        improvement_threshold: float = 0.01,
+        callback: Optional[Callable] = None,
+        epoch_callback: Optional[Callable] = None,
+        silent: bool = True,
+    ) -> Tuple[Dict[str, Any], List[float], List[float]]:
+        """Train until num_epochs or patience epochs without >threshold improvement
+        in ANY ensemble member's validation score.
+
+        ``dataset_train`` may be an iterator (re-stacked each epoch to honor
+        shuffling/bootstrap) or an already-stacked TransitionBatch pytree.
+        Returns (updated wrapper state with best params + elites, train losses,
+        val scores).
+        """
+        from mbrl_tpu.util.replay_buffer import TransitionIterator, stack_iterator
+
+        update_from_iterator = isinstance(dataset_train, TransitionIterator)
+        eval_iterator = dataset_val if dataset_val is not None else dataset_train
+
+        params = state["params"]
+        normalizer = state["normalizer"]
+        opt_state = self.optimizer.init(partition_params(params)[0])
+
+        # Validation data: one stacked device batch (un-bootstrapped).
+        val_batch = self._stack_eval(eval_iterator)
+
+        training_losses: List[float] = []
+        val_scores: List[float] = []
+
+        best_params = params
+        best_val_score = np.asarray(self._jit_eval(params, normalizer, val_batch))
+        epochs_since_update = 0
+        epoch = 0
+        while True:
+            if num_epochs is not None and epoch >= num_epochs:
+                break
+            stacked = (
+                stack_iterator(dataset_train) if update_from_iterator else dataset_train
+            )
+            stacked = jax.tree_util.tree_map(jnp.asarray, stacked)
+            params, opt_state, train_loss = self._jit_epoch(
+                params, opt_state, normalizer, stacked
+            )
+            train_loss = float(train_loss)
+            training_losses.append(train_loss)
+
+            member_scores = np.asarray(self._jit_eval(params, normalizer, val_batch))
+            val_score = float(member_scores.mean())
+            val_scores.append(val_score)
+
+            improved = self._improved_members(
+                best_val_score, member_scores, improvement_threshold
+            )
+            if improved.any():
+                best_val_score = np.minimum(best_val_score, member_scores)
+                best_params = params
+                epochs_since_update = 0
+            else:
+                epochs_since_update += 1
+
+            if self.logger is not None:
+                self.logger.log_data(
+                    self._LOG_GROUP_NAME,
+                    {
+                        "train_iteration": self._train_iteration,
+                        "epoch": epoch,
+                        "train_dataset_size": _dataset_size(dataset_train),
+                        "val_dataset_size": _dataset_size(eval_iterator)
+                        if dataset_val is not None
+                        else 0,
+                        "model_loss": train_loss,
+                        "model_val_score": val_score,
+                        "model_best_val_score": float(best_val_score.mean()),
+                    },
+                )
+            if epoch_callback is not None:
+                epoch_callback(epoch, train_loss, member_scores)
+            if callback is not None:
+                callback(
+                    self.model, self._train_iteration, epoch, train_loss,
+                    val_score, best_val_score.mean(),
+                )
+
+            epoch += 1
+            if patience is not None and epochs_since_update >= patience:
+                break
+
+        # Restore best weights and pick elites by final per-member score.
+        final_scores = np.asarray(self._jit_eval(best_params, normalizer, val_batch))
+        new_state = {**state, "params": best_params}
+        num_elites = getattr(self.model, "num_elites", None)
+        if final_scores.shape[0] > 1:
+            order = np.argsort(final_scores)
+            k = num_elites if num_elites else final_scores.shape[0]
+            new_state = self.model.set_elite(new_state, order[:k])
+        self._train_iteration += 1
+        return new_state, training_losses, val_scores
+
+    def _stack_eval(self, dataset) -> TransitionBatch:
+        """Whole validation set as one device batch (bootstrap OFF)."""
+        from mbrl_tpu.util.replay_buffer import BootstrapIterator, TransitionIterator
+
+        if not isinstance(dataset, TransitionIterator):
+            return jax.tree_util.tree_map(jnp.asarray, dataset)
+        toggled = False
+        if isinstance(dataset, BootstrapIterator) and dataset._bootstrap_iter:
+            dataset.toggle_bootstrap()
+            toggled = True
+        try:
+            all_data = dataset.transitions
+            batch = jax.tree_util.tree_map(
+                lambda x: jnp.asarray(np.asarray(x)), all_data
+            )
+        finally:
+            if toggled:
+                dataset.toggle_bootstrap()
+        return batch
+
+    def evaluate(self, state: Dict[str, Any], dataset) -> np.ndarray:
+        """Per-member validation score over a dataset (host API)."""
+        batch = self._stack_eval(dataset)
+        return np.asarray(self._jit_eval(state["params"], state["normalizer"], batch))
+
+
+def _dataset_size(dataset) -> int:
+    try:
+        return int(dataset.num_stored)
+    except AttributeError:
+        try:
+            return len(dataset)
+        except TypeError:
+            return 0
