@@ -1,0 +1,322 @@
+"""MBPO: Model-Based Policy Optimization (Janner et al., 2019).
+
+Capability parity with the reference ``mbrl/algorithms/mbpo.py:31-301``: SAC learner
+on branched imagined rollouts from an ensemble model, rollout horizon scheduled by
+``truncated_linear``, SAC buffer capacity recomputed per epoch, mixed real/imagined
+update batches by ``real_data_ratio``, per-epoch evaluation with best-checkpoint.
+
+TPU re-design (eliminating the reference's host round-trips, SURVEY.md §3.2):
+  - the imagined-rollout generation (policy act -> model step -> masked buffer
+    write, for the whole horizon) is ONE jitted ``lax.scan`` writing directly into
+    a device-resident SAC buffer;
+  - each env step's ``num_sac_updates_per_step`` SAC updates run as ONE scanned
+    program over pre-sampled stacked batches (mixing real/imagined sources on
+    device);
+  - the real replay buffer stays host-side (it absorbs single env transitions) and
+    is snapshotted to device once per model retraining for mixed-batch sampling.
+"""
+from __future__ import annotations
+
+import os
+import pathlib
+from typing import Any, Dict, Optional, cast
+
+import gymnasium as gym
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import mbrl_tpu.constants
+from mbrl_tpu.config import Config, complete_agent_cfg, create_one_dim_tr_model
+from mbrl_tpu.models import ModelEnv, ModelTrainer
+from mbrl_tpu.ops.math import truncated_linear
+from mbrl_tpu.planning import RandomAgent
+from mbrl_tpu.planning.sac import SAC, SACAgent
+from mbrl_tpu.util import common as util_common
+from mbrl_tpu.util.device_buffer import DeviceReplayBuffer
+from mbrl_tpu.util.logger import Logger
+
+MBPO_LOG_FORMAT = mbrl_tpu.constants.EVAL_LOG_FORMAT + [
+    ("epoch", "E", "int"),
+    ("rollout_length", "RL", "int"),
+]
+
+
+class _ImaginedRolloutProgram:
+    """Jitted: branched model rollouts from real states into the device SAC buffer."""
+
+    def __init__(self, model_env: ModelEnv, sac: SAC, sac_buffer: DeviceReplayBuffer,
+                 sac_samples_action: bool):
+        self.model_env = model_env
+        self.sac = sac
+        self.sac_buffer = sac_buffer
+        self.sac_samples_action = sac_samples_action
+        self._run = jax.jit(self._impl, static_argnames=("horizon",))
+
+    def _impl(self, model_wrapper_state, policy_params, buf_state, initial_obs, key,
+              horizon: int):
+        key, k_reset = jax.random.split(key)
+        model_state = self.model_env.dynamics_model.reset(
+            model_wrapper_state, initial_obs, k_reset
+        )
+        batch = initial_obs.shape[0]
+
+        def step(carry, _):
+            model_state, buf_state, obs, alive, key = carry
+            key, k_act, k_model = jax.random.split(key, 3)
+            if self.sac_samples_action:
+                action, _, _ = self.sac._sample_action(policy_params, obs, k_act)
+            else:
+                _, _, action = self.sac._sample_action(policy_params, obs, k_act)
+            next_obs, rewards, terminated, model_state = self.model_env._step_impl(
+                model_wrapper_state, action, model_state, k_model, sample=True
+            )
+            terminated = jnp.reshape(terminated, (batch,))
+            buf_state = self.sac_buffer.add_batch_masked(
+                buf_state,
+                obs,
+                action,
+                next_obs,
+                jnp.reshape(rewards, (batch,)),
+                1.0 - terminated.astype(jnp.float32),  # SAC mask convention
+                valid=alive,
+            )
+            alive = jnp.logical_and(alive, jnp.logical_not(terminated))
+            return (model_state, buf_state, next_obs, alive, key), None
+
+        init = (model_state, buf_state, initial_obs, jnp.ones((batch,), bool), key)
+        (model_state, buf_state, *_), _ = jax.lax.scan(
+            step, init, None, length=horizon
+        )
+        return buf_state
+
+    def run(self, model_wrapper_state, policy_params, buf_state, initial_obs, key,
+            horizon: int):
+        return self._run(
+            model_wrapper_state, policy_params, buf_state,
+            jnp.asarray(initial_obs, jnp.float32), key, horizon=horizon,
+        )
+
+
+def evaluate(env, agent: SACAgent, num_episodes: int, video_recorder=None) -> float:
+    avg_episode_reward = 0.0
+    for episode in range(num_episodes):
+        obs, _ = env.reset()
+        if video_recorder is not None:
+            video_recorder.init(enabled=(episode == 0))
+        terminated = truncated = False
+        episode_reward = 0.0
+        while not terminated and not truncated:
+            action = agent.act(obs)
+            obs, reward, terminated, truncated, _ = env.step(action)
+            if video_recorder is not None:
+                video_recorder.record(env)
+            episode_reward += reward
+        avg_episode_reward += episode_reward
+    return avg_episode_reward / num_episodes
+
+
+def train(
+    env: gym.Env,
+    test_env: gym.Env,
+    termination_fn,
+    cfg: Config,
+    silent: bool = False,
+    work_dir: Optional[str] = None,
+) -> np.float32:
+    debug_mode = cfg.get("debug_mode", False)
+    obs_shape = env.observation_space.shape
+    act_shape = env.action_space.shape
+    obs_dim, act_dim = obs_shape[0], act_shape[0]
+
+    key = jax.random.PRNGKey(cfg.seed or 0)
+    rng = np.random.default_rng(seed=cfg.seed)
+
+    # ----------------- SAC agent -----------------
+    sac = SAC(
+        num_inputs=obs_dim,
+        action_space=env.action_space,
+        gamma=cfg.overrides.sac_gamma,
+        tau=cfg.overrides.sac_tau,
+        alpha=cfg.overrides.sac_alpha,
+        policy=cfg.overrides.sac_policy,
+        target_update_interval=cfg.overrides.sac_target_update_interval,
+        automatic_entropy_tuning=cfg.overrides.sac_automatic_entropy_tuning,
+        hidden_size=cfg.overrides.sac_hidden_size,
+        lr=cfg.overrides.sac_lr,
+        target_entropy=cfg.overrides.get("sac_target_entropy", None),
+    )
+    key, k_sac = jax.random.split(key)
+    sac_state = sac.init(k_sac)
+    agent = SACAgent(sac, sac_state, seed=(cfg.seed or 0) + 3)
+
+    work_dir = work_dir or os.getcwd()
+    logger = None
+    if not silent:
+        logger = Logger(work_dir, enable_back_compat=True)
+        logger.register_group(
+            mbrl_tpu.constants.RESULTS_LOG_NAME, MBPO_LOG_FORMAT, color="green"
+        )
+
+    # ----------------- model + real buffer -----------------
+    dynamics_model = create_one_dim_tr_model(cfg, obs_shape, act_shape)
+    key, k_model = jax.random.split(key)
+    model_state = dynamics_model.init(k_model)
+    use_double = cfg.algorithm.get("normalize_double_precision", False)
+    dtype = np.double if use_double else np.float32
+    replay_buffer = util_common.create_replay_buffer(
+        cfg, obs_shape, act_shape, rng=rng,
+        obs_type=dtype, action_type=dtype, reward_type=dtype,
+    )
+    random_explore = cfg.algorithm.random_initial_explore
+    util_common.rollout_agent_trajectories(
+        env,
+        cfg.algorithm.initial_exploration_steps,
+        RandomAgent(env) if random_explore else agent,
+        {} if random_explore else {"sample": True, "batched": False},
+        replay_buffer=replay_buffer,
+    )
+
+    model_env = ModelEnv(dynamics_model, termination_fn, None)
+    model_trainer = ModelTrainer(
+        dynamics_model,
+        optim_lr=cfg.overrides.model_lr,
+        weight_decay=cfg.overrides.model_wd,
+        logger=logger,
+    )
+
+    # ----------------- loop -----------------
+    rollout_batch_size = (
+        cfg.overrides.effective_model_rollouts_per_step * cfg.algorithm.freq_train_model
+    )
+    trains_per_epoch = int(
+        np.ceil(cfg.overrides.epoch_length / cfg.overrides.freq_train_model)
+    )
+    updates_made = 0
+    env_steps = 0
+    best_eval_reward = -np.inf
+    epoch = 0
+    sac_buffer: Optional[DeviceReplayBuffer] = None
+    sac_buf_state = None
+    rollout_prog: Optional[_ImaginedRolloutProgram] = None
+    real_snapshot = None  # device copy of the real buffer for mixed batches
+    real_ratio = cfg.algorithm.get("real_data_ratio", 0.0)
+    sac_batch_size = cfg.overrides.sac_batch_size
+    num_sac_updates = cfg.overrides.num_sac_updates_per_step
+
+    while env_steps < cfg.overrides.num_steps:
+        rollout_length = int(
+            truncated_linear(*(list(cfg.overrides.rollout_schedule) + [epoch + 1]))
+        )
+        sac_buffer_capacity = (
+            rollout_length * rollout_batch_size * trains_per_epoch
+            * cfg.overrides.num_epochs_to_retain_sac_buffer
+        )
+        if sac_buffer is None or sac_buffer.capacity != sac_buffer_capacity:
+            if sac_buffer is None:
+                sac_buffer = DeviceReplayBuffer(sac_buffer_capacity, obs_dim, act_dim)
+                sac_buf_state = sac_buffer.init()
+            else:
+                sac_buffer, sac_buf_state = sac_buffer.resize(
+                    sac_buf_state, sac_buffer_capacity
+                )
+            rollout_prog = _ImaginedRolloutProgram(
+                model_env, sac, sac_buffer, cfg.algorithm.sac_samples_action
+            )
+
+        obs = None
+        terminated = truncated = False
+        for steps_epoch in range(cfg.overrides.epoch_length):
+            if steps_epoch == 0 or terminated or truncated:
+                obs, _ = env.reset()
+                terminated = truncated = False
+            next_obs, reward, terminated, truncated, _ = (
+                util_common.step_env_and_add_to_buffer(
+                    env, obs, agent, {"sample": True}, replay_buffer
+                )
+            )
+
+            # --------------- model training + imagined rollouts ---------------
+            if (env_steps + 1) % cfg.overrides.freq_train_model == 0:
+                model_state = util_common.train_model_and_save_model_and_data(
+                    dynamics_model, model_state, model_trainer,
+                    cfg.overrides, replay_buffer, work_dir=work_dir,
+                )
+                initial_obs = replay_buffer.sample(rollout_batch_size).obs
+                key, k_roll = jax.random.split(key)
+                sac_buf_state = rollout_prog.run(
+                    model_state, sac_state.policy, sac_buf_state,
+                    initial_obs, k_roll, rollout_length,
+                )
+                if real_ratio > 0:
+                    all_real = replay_buffer.get_all()
+                    real_snapshot = (
+                        jnp.asarray(all_real.obs, jnp.float32),
+                        jnp.asarray(all_real.act, jnp.float32),
+                        jnp.asarray(all_real.next_obs, jnp.float32),
+                        jnp.asarray(all_real.rewards, jnp.float32).reshape(-1, 1),
+                        1.0 - jnp.asarray(all_real.terminateds, jnp.float32).reshape(-1, 1),
+                    )
+                if debug_mode:
+                    print(
+                        f"Epoch: {epoch}. SAC buffer: {int(sac_buf_state.num_stored)}. "
+                        f"Rollout length: {rollout_length}. Steps: {env_steps}"
+                    )
+
+            # --------------- SAC updates (one scanned program) ---------------
+            enough_data = int(sac_buf_state.num_stored) >= sac_batch_size
+            if (
+                num_sac_updates > 0
+                and (env_steps + 1) % cfg.overrides.sac_updates_every_steps == 0
+                and enough_data
+            ):
+                key, k_batches = jax.random.split(key)
+                batches = sac_buffer.sample_many(
+                    sac_buf_state, k_batches, num_sac_updates, sac_batch_size
+                )
+                if real_ratio > 0 and real_snapshot is not None:
+                    key, k_real, k_mix = jax.random.split(key, 3)
+                    n_real = real_snapshot[0].shape[0]
+                    ridx = jax.random.randint(
+                        k_real, (num_sac_updates, sac_batch_size), 0, n_real
+                    )
+                    real_batches = tuple(arr[ridx] for arr in real_snapshot)
+                    use_real = (
+                        jax.random.uniform(k_mix, (num_sac_updates,)) < real_ratio
+                    )
+                    sel = use_real[:, None, None]
+                    batches = tuple(
+                        jnp.where(sel, rb, ib) for rb, ib in zip(real_batches, batches)
+                    )
+                key, k_upd = jax.random.split(key)
+                sac_state, metrics = sac.update_many(sac_state, batches, k_upd)
+                agent.set_state(sac_state)
+                updates_made += num_sac_updates
+                if logger is not None and updates_made % cfg.log_frequency_agent < num_sac_updates:
+                    logger.dump(updates_made, save=True)
+
+            # --------------- epoch end: evaluate + checkpoint ---------------
+            if (env_steps + 1) % cfg.overrides.epoch_length == 0:
+                avg_reward = evaluate(
+                    test_env, agent, cfg.algorithm.num_eval_episodes
+                )
+                if logger is not None:
+                    logger.log_data(
+                        mbrl_tpu.constants.RESULTS_LOG_NAME,
+                        {
+                            "epoch": epoch,
+                            "env_step": env_steps,
+                            "episode_reward": avg_reward,
+                            "rollout_length": rollout_length,
+                        },
+                    )
+                if avg_reward > best_eval_reward:
+                    best_eval_reward = avg_reward
+                    sac.save_checkpoint(
+                        sac_state, os.path.join(work_dir, "sac.pkl")
+                    )
+                epoch += 1
+
+            env_steps += 1
+            obs = next_obs
+    return np.float32(best_eval_reward)

@@ -1,0 +1,142 @@
+"""PETS: Probabilistic Ensembles with Trajectory Sampling (Chua et al., 2018).
+
+Capability parity with the reference ``mbrl/algorithms/pets.py:24-145``: seed the
+buffer with random exploration, then loop — retrain the ensemble every
+``freq_train_model`` env steps, and act via CEM/iCEM/MPPI MPC over the learned
+model's imagined rollouts. Returns the maximum episode reward observed.
+
+TPU re-design: all per-step planning compute (the full CEM loop over imagined
+rollouts) is one jitted on-device program; the host loop only steps the real env and
+feeds the replay buffer. The agent's objective closes over the model wrapper STATE
+pytree, refreshed via ``set_eval_state`` after each retraining.
+"""
+from __future__ import annotations
+
+import os
+import pathlib
+from typing import Optional
+
+import jax
+import numpy as np
+
+import mbrl_tpu.constants
+from mbrl_tpu.config import Config, complete_agent_cfg, create_one_dim_tr_model, instantiate
+from mbrl_tpu.models import ModelEnv, ModelTrainer
+from mbrl_tpu.planning import RandomAgent, create_trajectory_optim_agent_for_model
+from mbrl_tpu.util import common as util_common
+from mbrl_tpu.util.logger import Logger
+
+EVAL_LOG_FORMAT = mbrl_tpu.constants.EVAL_LOG_FORMAT
+
+
+def train(
+    env,
+    termination_fn,
+    reward_fn,
+    cfg: Config,
+    silent: bool = False,
+    work_dir: Optional[str] = None,
+) -> np.float32:
+    debug_mode = cfg.get("debug_mode", False)
+
+    obs_shape = env.observation_space.shape
+    act_shape = env.action_space.shape
+
+    rng = np.random.default_rng(seed=cfg.seed)
+    key = jax.random.PRNGKey(cfg.seed or 0)
+
+    work_dir = work_dir or os.getcwd()
+    logger = None
+    if not silent:
+        print(f"Results will be saved at {work_dir}.")
+        logger = Logger(work_dir)
+        logger.register_group(
+            mbrl_tpu.constants.RESULTS_LOG_NAME, EVAL_LOG_FORMAT, color="green"
+        )
+
+    # -------- Create and populate initial env dataset --------
+    dynamics_model = create_one_dim_tr_model(cfg, obs_shape, act_shape)
+    key, k_init = jax.random.split(key)
+    model_state = dynamics_model.init(k_init)
+    use_double_dtype = cfg.algorithm.get("normalize_double_precision", False)
+    dtype = np.double if use_double_dtype else np.float32
+    replay_buffer = util_common.create_replay_buffer(
+        cfg,
+        obs_shape,
+        act_shape,
+        rng=rng,
+        obs_type=dtype,
+        action_type=dtype,
+        reward_type=dtype,
+    )
+    util_common.rollout_agent_trajectories(
+        env,
+        cfg.algorithm.initial_exploration_steps,
+        RandomAgent(env),
+        {},
+        replay_buffer=replay_buffer,
+    )
+    replay_buffer.save(work_dir)
+
+    # ---------- Create model environment and agent -----------
+    model_env = ModelEnv(dynamics_model, termination_fn, reward_fn)
+    model_trainer = ModelTrainer(
+        dynamics_model,
+        optim_lr=cfg.overrides.model_lr,
+        weight_decay=cfg.overrides.model_wd,
+        logger=logger,
+    )
+    agent_cfg = complete_agent_cfg(env, cfg.algorithm.agent)
+    agent = instantiate(agent_cfg, seed=(cfg.seed or 0) + 1)
+    agent = create_trajectory_optim_agent_for_model(
+        model_env, agent, num_particles=cfg.algorithm.num_particles
+    )
+    agent.set_eval_state(model_state)
+
+    # --------------------- Training Loop ---------------------
+    env_steps = 0
+    current_trial = 0
+    max_total_reward = -np.inf
+    while env_steps < cfg.overrides.num_steps:
+        obs, _ = env.reset()
+        agent.reset()
+        terminated = False
+        truncated = False
+        total_reward = 0.0
+        steps_trial = 0
+        while not terminated and not truncated:
+            if env_steps % cfg.algorithm.freq_train_model == 0:
+                model_state = util_common.train_model_and_save_model_and_data(
+                    dynamics_model,
+                    model_state,
+                    model_trainer,
+                    cfg.overrides,
+                    replay_buffer,
+                    work_dir=work_dir,
+                )
+                agent.set_eval_state(model_state)
+
+            next_obs, reward, terminated, truncated, _ = (
+                util_common.step_env_and_add_to_buffer(
+                    env, obs, agent, {}, replay_buffer
+                )
+            )
+            obs = next_obs
+            total_reward += reward
+            steps_trial += 1
+            env_steps += 1
+            if cfg.overrides.get("trial_length", None) and steps_trial >= cfg.overrides.trial_length:
+                truncated = True
+            if debug_mode:
+                print(f"Step {env_steps}: Reward {reward:.3f}.")
+        if logger is not None:
+            logger.log_data(
+                mbrl_tpu.constants.RESULTS_LOG_NAME,
+                {"env_step": env_steps, "episode_reward": total_reward},
+            )
+        current_trial += 1
+        if debug_mode:
+            print(f"Trial: {current_trial}, reward: {total_reward}.")
+        max_total_reward = max(max_total_reward, total_reward)
+
+    return np.float32(max_total_reward)

@@ -29,9 +29,16 @@ class BasicEnsemble:
     def __init__(
         self,
         ensemble_size: int,
-        member_model,
+        member_model=None,
         propagation_method: Optional[str] = None,
+        member_cfg=None,
     ):
+        # `member_cfg` is the config-instantiation alias (an already-instantiated
+        # member model arrives under that name from the YAML tree)
+        if member_model is None:
+            member_model = member_cfg
+        if member_model is None:
+            raise ValueError("BasicEnsemble requires a member model")
         self.ensemble_size = ensemble_size
         self.member = member_model
         self.propagation_method = propagation_method
@@ -76,6 +83,11 @@ class BasicEnsemble:
 
         def fwd(p, xi):
             mean, logvar = self.member.forward(p, xi)
+            # members that are themselves (1-member) ensembles produce a leading
+            # singleton axis; collapse it so the vmap axis is THE ensemble axis
+            if mean.ndim == 3:
+                mean = mean[0]
+                logvar = None if logvar is None else logvar[0]
             if logvar is None:
                 return mean, jnp.zeros_like(mean)
             return mean, logvar

@@ -69,7 +69,9 @@ class TransitionRewardModel:
         params = self.model.init(key)
         normalizer = None
         if self.normalize:
-            dtype = jnp.float64 if self.normalize_double_precision else jnp.float32
+            # float64 stats only when x64 is enabled; silently use f32 otherwise
+            use_x64 = self.normalize_double_precision and jax.config.jax_enable_x64
+            dtype = jnp.float64 if use_x64 else jnp.float32
             normalizer = nrm.init_normalizer(self.model.in_size, dtype=dtype)
         return {"params": params, "normalizer": normalizer}
 

@@ -1,0 +1,67 @@
+"""Config engine tests: composition, interpolation, overrides, instantiation."""
+import pathlib
+
+import numpy as np
+import pytest
+
+from mbrl_tpu.config import Config, instantiate, load_config, parse_overrides
+
+_CONF_DIR = pathlib.Path(__file__).parent.parent / "mbrl_tpu" / "examples" / "conf"
+
+
+def test_load_main_composition_and_interpolation():
+    cfg = load_config(_CONF_DIR, "main", overrides=[])
+    assert cfg.algorithm.name == "pets"
+    assert cfg.dynamics_model.ensemble_size == 7
+    assert cfg.overrides.env == "cartpole_continuous"
+    # ${overrides.planning_horizon} resolved into the agent node
+    assert cfg.algorithm.agent.planning_horizon == 15
+    # ${action_optimizer} spliced into agent.optimizer, with its own interpolations
+    assert cfg.algorithm.agent.optimizer["_target_"] == "mbrl_tpu.planning.CEMOptimizer"
+    assert cfg.algorithm.agent.optimizer.num_iterations == 5
+    # mandatory ??? fields raise on direct access, pass through .get
+    with pytest.raises(ValueError):
+        _ = cfg.algorithm.agent.action_lb
+    assert cfg.algorithm.agent.get("action_lb", None) is None
+
+
+def test_group_swap_and_value_overrides():
+    cfg = load_config(
+        _CONF_DIR,
+        "main",
+        overrides=[
+            "dynamics_model=basic_ensemble",
+            "dynamics_model.ensemble_size=3",
+            "seed=7",
+        ],
+    )
+    assert cfg.dynamics_model["_target_"].endswith("BasicEnsemble")
+    assert cfg.dynamics_model.ensemble_size == 3
+    assert cfg.seed == 7
+
+
+def test_parse_overrides():
+    groups, values = parse_overrides(["algorithm=pets", "a.b.c=1.5", "x.y=[1,2]"])
+    assert groups == {"algorithm": "pets"}
+    assert values[0] == ("a.b.c", 1.5)
+    assert values[1] == ("x.y", [1, 2])
+    with pytest.raises(ValueError):
+        parse_overrides(["noequals"])
+
+
+def test_instantiate_nested():
+    node = Config(
+        {
+            "_target_": "mbrl_tpu.models.GaussianMLP",
+            "in_size": 3,
+            "out_size": 2,
+            "num_layers": 1,
+            "ensemble_size": 2,
+            "hid_size": 8,
+        }
+    )
+    model = instantiate(node)
+    assert model.ensemble_size == 2 and model.in_size == 3
+
+    with pytest.raises(ValueError):
+        instantiate(Config({"no_target": 1}))
