@@ -1,3 +1,3 @@
-from . import mbpo, pets
+from . import mbpo, pets, planet
 
-__all__ = ["pets", "mbpo"]
+__all__ = ["pets", "mbpo", "planet"]

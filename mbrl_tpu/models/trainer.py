@@ -61,39 +61,56 @@ class ModelTrainer:
         self._train_iteration = 0
         # torch.optim.Adam(weight_decay=wd) couples L2 into the gradient before the
         # Adam moments — optax equivalent is add_decayed_weights THEN adam.
-        self.optimizer = optax.chain(
-            optax.add_decayed_weights(weight_decay), optax.adam(optim_lr, eps=optim_eps)
-        )
+        # Models may request global-norm grad clipping (PlaNet uses 1000.0).
+        clip_norm = getattr(model, "grad_clip_norm", None)
+        transforms = []
+        if clip_norm:
+            transforms.append(optax.clip_by_global_norm(clip_norm))
+        transforms += [
+            optax.add_decayed_weights(weight_decay),
+            optax.adam(optim_lr, eps=optim_eps),
+        ]
+        self.optimizer = optax.chain(*transforms)
+        # Models whose loss is stochastic (e.g. PlaNet's latent sampling) take a
+        # PRNG key; detected by attribute.
+        self._stochastic_loss = getattr(model, "stochastic_loss", False)
         self._jit_epoch = jax.jit(self._epoch_impl)
         self._jit_eval = jax.jit(self._eval_impl)
 
     # ------------------------------------------------------------------ #
     # Jitted programs
     # ------------------------------------------------------------------ #
-    def _loss_fn(self, diff, static, normalizer, batch: TransitionBatch):
+    def _loss_fn(self, diff, static, normalizer, batch: TransitionBatch, key):
         params = combine_params(diff, static)
         state = {"params": params, "normalizer": normalizer}
-        loss, _ = self.model.loss(state, batch)
-        return loss
+        if self._stochastic_loss:
+            loss, meta = self.model.loss(state, batch, key=key)
+        else:
+            loss, meta = self.model.loss(state, batch)
+        return loss, meta
 
-    def _epoch_impl(self, params, opt_state, normalizer, stacked: TransitionBatch):
-        """Scan one full epoch of minibatch updates; returns mean train loss.
+    def _epoch_impl(self, params, opt_state, normalizer, stacked: TransitionBatch, key):
+        """Scan one full epoch of minibatch updates; returns mean train loss and the
+        stacked per-batch metadata.
 
         Gradients/optimizer run over the float leaves only (int data leaves like the
         elite indices ride along untouched)."""
         diff, static = partition_params(params)
 
         def step(carry, batch):
-            diff, opt_state = carry
-            loss, grads = jax.value_and_grad(self._loss_fn)(
-                diff, static, normalizer, batch
+            diff, opt_state, key = carry
+            key, k = jax.random.split(key)
+            (loss, meta), grads = jax.value_and_grad(self._loss_fn, has_aux=True)(
+                diff, static, normalizer, batch, k
             )
             updates, opt_state = self.optimizer.update(grads, opt_state, diff)
             diff = optax.apply_updates(diff, updates)
-            return (diff, opt_state), loss
+            return (diff, opt_state, key), (loss, meta)
 
-        (diff, opt_state), losses = jax.lax.scan(step, (diff, opt_state), stacked)
-        return combine_params(diff, static), opt_state, losses.mean()
+        (diff, opt_state, _), (losses, metas) = jax.lax.scan(
+            step, (diff, opt_state, key), stacked
+        )
+        return combine_params(diff, static), opt_state, losses, metas
 
     def _eval_impl(self, params, normalizer, batch: TransitionBatch) -> jax.Array:
         """Per-member validation score: mean squared error over batch and output dim
@@ -123,7 +140,10 @@ class ModelTrainer:
         improvement_threshold: float = 0.01,
         callback: Optional[Callable] = None,
         epoch_callback: Optional[Callable] = None,
+        batch_callback: Optional[Callable] = None,
+        evaluate: bool = True,
         silent: bool = True,
+        key=None,
     ) -> Tuple[Dict[str, Any], List[float], List[float]]:
         """Train until num_epochs or patience epochs without >threshold improvement
         in ANY ensemble member's validation score.
@@ -139,17 +159,23 @@ class ModelTrainer:
         eval_iterator = dataset_val if dataset_val is not None else dataset_train
 
         params = state["params"]
-        normalizer = state["normalizer"]
+        normalizer = state.get("normalizer", None)
         opt_state = self.optimizer.init(partition_params(params)[0])
+        if key is None:
+            key = jax.random.PRNGKey(self._train_iteration)
 
         # Validation data: one stacked device batch (un-bootstrapped).
-        val_batch = self._stack_eval(eval_iterator)
+        val_batch = self._stack_eval(eval_iterator) if evaluate else None
 
         training_losses: List[float] = []
         val_scores: List[float] = []
 
         best_params = params
-        best_val_score = np.asarray(self._jit_eval(params, normalizer, val_batch))
+        best_val_score = (
+            np.asarray(self._jit_eval(params, normalizer, val_batch))
+            if evaluate
+            else None
+        )
         epochs_since_update = 0
         epoch = 0
         while True:
@@ -159,11 +185,25 @@ class ModelTrainer:
                 stack_iterator(dataset_train) if update_from_iterator else dataset_train
             )
             stacked = jax.tree_util.tree_map(jnp.asarray, stacked)
-            params, opt_state, train_loss = self._jit_epoch(
-                params, opt_state, normalizer, stacked
+            key, k_epoch = jax.random.split(key)
+            params, opt_state, batch_losses, batch_metas = self._jit_epoch(
+                params, opt_state, normalizer, stacked, k_epoch
             )
-            train_loss = float(train_loss)
+            train_loss = float(batch_losses.mean())
             training_losses.append(train_loss)
+            if batch_callback is not None:
+                host_losses = np.asarray(batch_losses)
+                host_metas = jax.device_get(batch_metas)
+                for i in range(len(host_losses)):
+                    meta_i = jax.tree_util.tree_map(lambda m: m[i], host_metas)
+                    batch_callback(epoch, float(host_losses[i]), meta_i, "train")
+
+            if not evaluate:
+                best_params = params
+                epoch += 1
+                if epoch_callback is not None:
+                    epoch_callback(epoch, train_loss, None)
+                continue
 
             member_scores = np.asarray(self._jit_eval(params, normalizer, val_batch))
             val_score = float(member_scores.mean())
@@ -207,13 +247,16 @@ class ModelTrainer:
                 break
 
         # Restore best weights and pick elites by final per-member score.
-        final_scores = np.asarray(self._jit_eval(best_params, normalizer, val_batch))
         new_state = {**state, "params": best_params}
-        num_elites = getattr(self.model, "num_elites", None)
-        if final_scores.shape[0] > 1:
-            order = np.argsort(final_scores)
-            k = num_elites if num_elites else final_scores.shape[0]
-            new_state = self.model.set_elite(new_state, order[:k])
+        if evaluate:
+            final_scores = np.asarray(
+                self._jit_eval(best_params, normalizer, val_batch)
+            )
+            num_elites = getattr(self.model, "num_elites", None)
+            if final_scores.shape[0] > 1:
+                order = np.argsort(final_scores)
+                k = num_elites if num_elites else final_scores.shape[0]
+                new_state = self.model.set_elite(new_state, order[:k])
         self._train_iteration += 1
         return new_state, training_losses, val_scores
 

@@ -1,0 +1,176 @@
+"""PlaNet RSSM tests: unroll shapes, loss composition, posterior tracking, latent
+planning through ModelEnv, and a tiny end-to-end training smoke on a mock pixel env."""
+import gymnasium as gym
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mbrl_tpu.models import ModelEnv, ModelTrainer, PlaNetModel
+from mbrl_tpu.envs.termination_fns import no_termination
+from mbrl_tpu.types import TransitionBatch
+
+OBS_SHAPE = (3, 32, 32)
+ENC_CFG = [(3, 8, 4, 2), (8, 16, 4, 2)]
+DEC_CFG = [(64, 1, 1), [(64, 32, 5, 1), (32, 16, 6, 2), (16, 3, 6, 2)]]
+LATENT, BELIEF, ACT = 6, 16, 2
+
+
+def _planet():
+    return PlaNetModel(
+        obs_shape=OBS_SHAPE,
+        obs_encoding_size=64,
+        encoder_config=ENC_CFG,
+        decoder_config=DEC_CFG,
+        latent_state_size=LATENT,
+        action_size=ACT,
+        belief_size=BELIEF,
+        hidden_size_fcs=32,
+    )
+
+
+def _seq_batch(b=3, length=6):
+    rng = np.random.default_rng(0)
+    obs = rng.integers(0, 255, (b, length) + OBS_SHAPE).astype(np.uint8)
+    act = rng.uniform(-1, 1, (b, length, ACT)).astype(np.float32)
+    rew = rng.standard_normal((b, length)).astype(np.float32)
+    return TransitionBatch(
+        obs, act, obs, rew, np.zeros((b, length), bool), np.zeros((b, length), bool)
+    )
+
+
+def test_unroll_and_loss_shapes():
+    model = _planet()
+    state = model.init(jax.random.PRNGKey(0))
+    batch = _seq_batch()
+    loss, meta = model.loss(state, batch, key=jax.random.PRNGKey(1))
+    assert np.isfinite(float(loss))
+    assert set(meta) == {"observations_loss", "reward_loss", "kl_loss"}
+    # KL >= free nats by construction of the clamp
+    assert float(meta["kl_loss"]) >= model.free_nats - 1e-5
+
+    obs = model._process_pixel_obs(jnp.asarray(batch.obs))
+    outs = model.unroll(
+        state["params"], obs[:, 1:], jnp.asarray(batch.act[:, :-1]), jax.random.PRNGKey(2)
+    )
+    assert outs["post_sample"].shape == (3, 5, LATENT)
+    assert outs["belief"].shape == (3, 5, BELIEF)
+    assert outs["recon"].shape == (3, 5) + OBS_SHAPE
+    assert outs["reward"].shape == (3, 5)
+
+
+def test_posterior_tracking_and_latent_planning():
+    model = _planet()
+    state = model.init(jax.random.PRNGKey(0))
+    obs = np.random.default_rng(0).integers(0, 255, OBS_SHAPE).astype(np.uint8)
+
+    state = model.reset_posterior(state)
+    state = model.update_posterior(state, obs, action=None, key=jax.random.PRNGKey(1))
+    assert state["posterior"]["latent"].shape == (1, LATENT)
+    post1 = np.asarray(state["posterior"]["latent"])
+    state = model.update_posterior(
+        state, obs, action=np.zeros(ACT, np.float32), key=jax.random.PRNGKey(2)
+    )
+    assert not np.allclose(post1, np.asarray(state["posterior"]["latent"]))
+
+    # latent CEM planning through ModelEnv
+    env = ModelEnv(model, no_termination, None)
+    seqs = jnp.zeros((10, 4, ACT))
+    values = env.evaluate_action_sequences(
+        state, seqs, jnp.asarray(obs, jnp.float32), jax.random.PRNGKey(3),
+        num_particles=2,
+    )
+    assert values.shape == (10,)
+    assert np.isfinite(np.asarray(values)).all()
+
+    # prior stepping keeps shapes
+    ms = env.reset(state, jnp.zeros((5,) + OBS_SHAPE), jax.random.PRNGKey(4))
+    latent, reward, done, ms = env.step(
+        state, jnp.zeros((5, ACT)), ms, jax.random.PRNGKey(5), sample=True
+    )
+    assert latent.shape == (5, LATENT) and reward.shape == (5, 1)
+
+    # render decodes latents
+    img = model.render(state, ms["latent"], ms["belief"])
+    assert img.shape == (5, 32, 32, 3) and img.dtype == np.uint8
+
+
+def test_planet_training_reduces_loss():
+    model = _planet()
+    state = model.init(jax.random.PRNGKey(0))
+    trainer = ModelTrainer(model, optim_lr=3e-4, optim_eps=1e-4)
+    batch = _seq_batch(b=8, length=6)
+    stacked = jax.tree_util.tree_map(lambda x: np.stack([x] * 4), batch)  # 4 batches
+    losses = []
+    for i in range(6):
+        state, ls, _ = trainer.train(
+            state, stacked, num_epochs=1, evaluate=False, key=jax.random.PRNGKey(i)
+        )
+        losses.extend(ls)
+    assert losses[-1] < losses[0], losses
+
+
+class MockPixelEnv(gym.Env):
+    """Tiny pixel env: image brightness encodes a scalar state pushed by actions."""
+
+    def __init__(self):
+        self.observation_space = gym.spaces.Box(0, 255, shape=OBS_SHAPE, dtype=np.uint8)
+        self.action_space = gym.spaces.Box(-np.ones(ACT), np.ones(ACT), dtype=np.float32)
+        self.t = 0
+        self.x = 0.5
+
+    def _obs(self):
+        val = np.uint8(np.clip(self.x, 0, 1) * 255)
+        return np.full(OBS_SHAPE, val, dtype=np.uint8)
+
+    def reset(self, seed=None, options=None):
+        super().reset(seed=seed)
+        self.t = 0
+        self.x = 0.5
+        return self._obs(), {}
+
+    def step(self, action):
+        self.x = float(np.clip(self.x + 0.05 * action.mean(), 0, 1))
+        self.t += 1
+        reward = 1.0 - abs(self.x - 0.8)
+        return self._obs(), reward, False, self.t >= 10, {}
+
+
+def test_planet_end_to_end_smoke():
+    from mbrl_tpu.config import load_config
+    import pathlib
+
+    conf_dir = pathlib.Path(__file__).parent.parent / "mbrl_tpu" / "examples" / "conf"
+    cfg = load_config(
+        conf_dir, "main",
+        overrides=[
+            "algorithm=planet",
+            "dynamics_model=planet",
+            "overrides=planet_cartpole_balance",
+        ],
+    )
+    cfg.seed = 0
+    cfg.dynamics_model["obs_shape"] = list(OBS_SHAPE)
+    cfg.dynamics_model["obs_encoding_size"] = 64
+    cfg.dynamics_model["encoder_config"] = [list(c) for c in ENC_CFG]
+    cfg.dynamics_model["decoder_config"] = [list(DEC_CFG[0]), [list(c) for c in DEC_CFG[1]]]
+    cfg.dynamics_model["latent_state_size"] = LATENT
+    cfg.dynamics_model["belief_size"] = BELIEF
+    cfg.dynamics_model["hidden_size_fcs"] = 32
+    cfg.algorithm["num_initial_trajectories"] = 2
+    cfg.algorithm["num_episodes"] = 2
+    cfg.algorithm["dataset_size"] = 2000
+    cfg.overrides["trial_length"] = 10
+    cfg.overrides["num_grad_updates"] = 3
+    cfg.overrides["sequence_length"] = 5
+    cfg.overrides["batch_size"] = 4
+    cfg.overrides["planning_horizon"] = 3
+    cfg.overrides["cem_num_iters"] = 2
+    cfg.overrides["cem_population_size"] = 30
+    from mbrl_tpu.config.engine import resolve_interpolations
+
+    resolve_interpolations(cfg)
+    import mbrl_tpu.algorithms.planet as planet_algo
+
+    avg_reward = planet_algo.train(MockPixelEnv(), cfg, silent=True, work_dir=None)
+    assert np.isfinite(avg_reward)
