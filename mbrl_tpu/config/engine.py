@@ -239,9 +239,19 @@ def resolve_interpolations(cfg: Config, max_passes: int = 10) -> None:
 # Instantiation
 # ------------------------------------------------------------------------- #
 def _import_target(target: str) -> Any:
-    module_name, _, attr = target.rpartition(".")
-    module = importlib.import_module(module_name)
-    return getattr(module, attr)
+    """Import a dotted path; walks attributes past the longest importable module
+    prefix (supports e.g. ``pkg.mod.Class.staticmethod``)."""
+    parts = target.split(".")
+    for i in range(len(parts) - 1, 0, -1):
+        module_name = ".".join(parts[:i])
+        try:
+            obj = importlib.import_module(module_name)
+        except ImportError:
+            continue
+        for attr in parts[i:]:
+            obj = getattr(obj, attr)
+        return obj
+    raise ImportError(f"Cannot import target {target!r}")
 
 
 def instantiate(node: Union[Config, Dict[str, Any]], **extra_kwargs) -> Any:

@@ -105,7 +105,10 @@ class EnvHandler(abc.ABC):
         """
         env_name = cfg.overrides.env
         term_fn = _lookup_fn(_term_fns, cfg.overrides.get("term_fn", None))
-        reward_fn = _lookup_fn(_reward_fns, cfg.overrides.get("reward_fn", None))
+        reward_name = cfg.overrides.get("reward_fn", None) or cfg.overrides.get(
+            "term_fn", None
+        )
+        reward_fn = _lookup_fn(_reward_fns, reward_name)
 
         env = make_env_from_name(cfg, env_name)
         learned_rewards = cfg.overrides.get("learned_rewards", True)
@@ -118,9 +121,19 @@ class EnvHandler(abc.ABC):
         return env, term_fn, reward_fn
 
 
+_CUSTOM_ENVS = {
+    "cartpole_continuous": "CartPoleEnv",
+    "pets_halfcheetah": "PetsHalfCheetahEnv",
+    "pets_cartpole": "PetsCartPoleEnv",
+    "cartpole_pets_version": "PetsCartPoleEnv",
+    "ant_truncated_obs": "AntTruncatedObsEnv",
+    "humanoid_truncated_obs": "HumanoidTruncatedObsEnv",
+}
+
+
 def make_env_from_name(cfg, env_name: str) -> gym.Env:
-    if env_name == "cartpole_continuous":
-        return mbrl_tpu.envs.CartPoleEnv()
+    if env_name in _CUSTOM_ENVS:
+        return getattr(mbrl_tpu.envs, _CUSTOM_ENVS[env_name])()
     if "env_cfg" in cfg.overrides:
         from mbrl_tpu.config import instantiate
 

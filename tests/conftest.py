@@ -10,6 +10,7 @@ overrides any platform plugin registered by site customizations.
 """
 import os
 
+os.environ.setdefault("MUJOCO_GL", "egl")  # headless mujoco rendering
 os.environ["JAX_PLATFORMS"] = "cpu"  # tests must be fast + hermetic (no TPU tunnel)
 _prev = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _prev:
