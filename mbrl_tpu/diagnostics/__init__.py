@@ -1,0 +1,5 @@
+from .eval_model_on_dataset import DatasetEvaluator
+from .finetune_model_with_controller import FineTuner
+from .visualize_model_preds import Visualizer
+
+__all__ = ["DatasetEvaluator", "FineTuner", "Visualizer"]

@@ -1,4 +1,6 @@
-from .core import Agent, RandomAgent
+from .core import Agent, RandomAgent, load_agent
+from .linear_feedback import PIDAgent
+from .sac import SAC, SACAgent
 from .trajectory_opt import (
     CEMOptimizer,
     ICEMOptimizer,
@@ -12,6 +14,10 @@ from .trajectory_opt import (
 __all__ = [
     "Agent",
     "RandomAgent",
+    "load_agent",
+    "PIDAgent",
+    "SAC",
+    "SACAgent",
     "Optimizer",
     "CEMOptimizer",
     "ICEMOptimizer",

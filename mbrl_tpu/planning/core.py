@@ -35,3 +35,49 @@ class RandomAgent(Agent):
 
     def act(self, obs: np.ndarray, **kwargs) -> np.ndarray:
         return self.env.action_space.sample()
+
+
+def load_agent(agent_path, env):
+    """Reconstruct a saved agent from a results directory.
+
+    The directory must contain the run's composed ``config.yaml`` (written by
+    ``mbrl_tpu.examples.main``) and the agent checkpoint (``sac.pkl`` for SAC
+    agents). Parity: reference ``mbrl/planning/core.py:126-157`` (which reloads
+    from the saved Hydra config).
+    """
+    import pathlib
+
+    import yaml
+
+    from mbrl_tpu.config import Config
+
+    agent_path = pathlib.Path(agent_path)
+    cfg_file = agent_path / "config.yaml"
+    if not cfg_file.exists():
+        cfg_file = agent_path / ".hydra" / "config.yaml"
+    with open(cfg_file) as f:
+        cfg = Config(yaml.safe_load(f))
+
+    if cfg.algorithm.name == "mbpo":
+        import jax
+
+        from mbrl_tpu.planning.sac import SAC, SACAgent
+
+        sac = SAC(
+            num_inputs=env.observation_space.shape[0],
+            action_space=env.action_space,
+            gamma=cfg.overrides.sac_gamma,
+            tau=cfg.overrides.sac_tau,
+            alpha=cfg.overrides.sac_alpha,
+            policy=cfg.overrides.sac_policy,
+            target_update_interval=cfg.overrides.sac_target_update_interval,
+            automatic_entropy_tuning=cfg.overrides.sac_automatic_entropy_tuning,
+            hidden_size=cfg.overrides.sac_hidden_size,
+            lr=cfg.overrides.sac_lr,
+            target_entropy=cfg.overrides.get("sac_target_entropy", None),
+        )
+        state = sac.load_checkpoint(agent_path / "sac.pkl")
+        return SACAgent(sac, state)
+    raise ValueError(
+        f"load_agent does not support algorithm {cfg.algorithm.name!r}"
+    )
