@@ -43,9 +43,13 @@ def bench_jax() -> dict:
         propagation_method="random_model",
     )
     wrapper = TransitionRewardModel(
-        model, target_is_delta=True, normalize=True, learned_rewards=True
+        model, target_is_delta=True, normalize=True, learned_rewards=True,
+        num_elites=5,
     )
     state = wrapper.init(jax.random.PRNGKey(0))
+    # 5-elite subsetting as in conf/overrides/pets_halfcheetah.yaml (num_elites: 5);
+    # also enables the equal-shard propagation fast path (8000 % 5 == 0)
+    state = wrapper.set_elite(state, [0, 1, 2, 3, 4])
 
     def term_fn(act, next_obs):
         return jnp.zeros((next_obs.shape[0], 1), dtype=bool)
@@ -56,9 +60,15 @@ def bench_jax() -> dict:
     obs0 = jnp.zeros((OBS_DIM,), jnp.float32)
     key = jax.random.PRNGKey(1)
 
-    # compile
-    env.evaluate_action_sequences(state, seqs, obs0, key, num_particles=PARTICLES).block_until_ready()
+    # compile (can take minutes through a remote-compile tunnel)
+    float(
+        env.evaluate_action_sequences(
+            state, seqs, obs0, key, num_particles=PARTICLES
+        ).sum()
+    )
 
+    # timing with host materialization each iteration: async-dispatch backends can
+    # otherwise report enqueue time instead of execution time
     n_plans = 20
     start = time.perf_counter()
     for i in range(n_plans):
@@ -66,7 +76,7 @@ def bench_jax() -> dict:
         vals = env.evaluate_action_sequences(
             state, seqs, obs0, key, num_particles=PARTICLES
         )
-    vals.block_until_ready()
+        float(vals.sum())
     elapsed = time.perf_counter() - start
     steps_per_s = n_plans * TRANSITIONS_PER_PLAN / elapsed
     return {"steps_per_s": steps_per_s, "plans_per_s": n_plans / elapsed}

@@ -192,6 +192,30 @@ class GaussianMLP:
         logvar = p["min_logvar"] + jax.nn.softplus(logvar - p["min_logvar"])
         return mean, logvar
 
+    def _forward_sharded(
+        self, params: Params, x: jax.Array, perm: jax.Array
+    ) -> Tuple[jax.Array, Optional[jax.Array]]:
+        """Equal-shard propagation: permute the batch, give each ELITE member an
+        equal contiguous shard, forward, un-permute.
+
+        This reproduces the reference's shuffle-reshape trick
+        (gaussian_mlp.py:156-216) and computes only B rows total instead of E*B —
+        the rollout hot path's dominant FLOP saving. Requires B %% num_elites == 0.
+        """
+        p = self._elite_view(params)
+        num_used = p["head"]["w"].shape[0]
+        batch = x.shape[0]
+        h = x[perm].reshape(num_used, batch // num_used, x.shape[-1])
+        mean, logvar = self.forward(p, h)
+        mean = mean.reshape(batch, -1)
+        if logvar is not None:
+            logvar = logvar.reshape(batch, -1)
+        # scatter-based inverse permutation (cheaper than argsort)
+        inv = jnp.zeros((batch,), jnp.int32).at[perm].set(
+            jnp.arange(batch, dtype=jnp.int32)
+        )
+        return mean[inv], None if logvar is None else logvar[inv]
+
     def forward_propagated(
         self,
         params: Params,
@@ -201,30 +225,43 @@ class GaussianMLP:
     ) -> Tuple[jax.Array, Optional[jax.Array]]:
         """Rollout-time forward that collapses the ensemble axis per the configured
         propagation method (over ELITE members). ``x`` is ``(B, in)``; returns
-        ``(B, out)`` mean/logvar."""
+        ``(B, out)`` mean/logvar.
+
+        For random_model/fixed_model with a batch divisible by the elite count, the
+        equal-shard fast path runs (1/E the FLOPs); otherwise every member's output
+        is computed and gathered per row (exact TS1/TSinf with arbitrary batch)."""
         method = self.propagation_method
         if method is None or self.ensemble_size == 1:
             mean, logvar = self.forward(params, x)
             if self.ensemble_size == 1:
                 return mean[0], None if logvar is None else logvar[0]
             return mean, logvar
-        mean, logvar = self.forward(params, x, use_only_elite=True)
-        num_used = mean.shape[0]
+
+        num_used = int(params["elite"].shape[0])
         batch = x.shape[0]
+        shardable = batch % num_used == 0
+
         if method == "random_model":
             if key is None:
                 raise ValueError("random_model propagation requires a PRNG key")
+            if shardable:
+                perm = jax.random.permutation(key, batch).astype(jnp.int32)
+                return self._forward_sharded(params, x, perm)
             idx = jax.random.randint(key, (batch,), 0, num_used)
         elif method == "fixed_model":
             if propagation_indices is None:
                 raise ValueError("fixed_model propagation requires propagation_indices")
-            idx = propagation_indices
+            if shardable:
+                # persistent permutation => persistent member assignment (TSinf)
+                return self._forward_sharded(params, x, propagation_indices)
+            idx = propagation_indices % num_used
         elif method == "expectation":
-            m = mean.mean(axis=0)
-            lv = None if logvar is None else logvar.mean(axis=0)
-            return m, lv
+            mean, logvar = self.forward(params, x, use_only_elite=True)
+            return mean.mean(axis=0), None if logvar is None else logvar.mean(axis=0)
         else:
             raise ValueError(f"Invalid propagation method {method}.")
+
+        mean, logvar = self.forward(params, x, use_only_elite=True)
         gather = idx[None, :, None]
         m = jnp.take_along_axis(mean, gather, axis=0)[0]
         lv = None if logvar is None else jnp.take_along_axis(logvar, gather, axis=0)[0]
@@ -268,18 +305,14 @@ class GaussianMLP:
     # Simulation contract (used via TransitionRewardModel by ModelEnv)
     # ------------------------------------------------------------------ #
     def sample_propagation_indices(self, batch_size: int, key: jax.Array) -> jax.Array:
-        """Per-row elite-member assignment for TSinf (fixed_model) propagation.
+        """Persistent batch permutation for TSinf (fixed_model) propagation.
 
-        Deals members round-robin over a random permutation of the batch, mirroring
-        the reference's equal-shard semantics (gaussian_mlp.py:377-393) without the
-        B % E divisibility requirement.
+        The permutation assigns each row to an equal elite-member shard (reference
+        gaussian_mlp.py:379-393); the shard assignment stays fixed for the whole
+        simulated trajectory. When the batch isn't divisible by the elite count the
+        fallback path derives per-row members as ``perm %% num_elites``.
         """
-        perm = jax.random.permutation(key, batch_size)
-        member_of_rank = jnp.arange(batch_size, dtype=jnp.int32) % jnp.int32(
-            max(self.ensemble_size, 1)
-        )
-        idx = jnp.zeros((batch_size,), dtype=jnp.int32).at[perm].set(member_of_rank)
-        return idx
+        return jax.random.permutation(key, batch_size).astype(jnp.int32)
 
     def reset_1d(self, obs: jax.Array, key: jax.Array) -> Dict[str, jax.Array]:
         """Initial per-trajectory model state: propagation indices (always present so

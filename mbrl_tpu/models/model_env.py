@@ -38,10 +38,15 @@ class ModelEnv:
         dynamics_model,
         termination_fn: TermFn,
         reward_fn: Optional[RewardFn] = None,
+        particle_sharding=None,
     ):
         self.dynamics_model = dynamics_model
         self.termination_fn = termination_fn
         self.reward_fn = reward_fn
+        # Optional NamedSharding for the particle batch axis: planning rollouts
+        # shard rollout particles across the mesh's data axis (the framework's DP
+        # axis — SURVEY.md §2.15); XLA partitions the whole scan accordingly.
+        self.particle_sharding = particle_sharding
         self._step = jax.jit(self._step_impl, static_argnames=("sample",))
         self._evaluate = jax.jit(
             self._evaluate_impl, static_argnames=("num_particles",)
@@ -100,6 +105,10 @@ class ModelEnv:
         init_obs = jnp.broadcast_to(
             initial_obs, (batch,) + initial_obs.shape
         ).astype(jnp.float32)
+        if self.particle_sharding is not None:
+            init_obs = jax.lax.with_sharding_constraint(
+                init_obs, self.particle_sharding
+            )
         key, k_reset = jax.random.split(key)
         model_state = self.dynamics_model.reset(state, init_obs, k_reset)
 

@@ -199,11 +199,17 @@ def test_gaussian_mlp_propagation_modes():
     np.testing.assert_allclose(np.asarray(m), np.asarray(mean_all.mean(0)), rtol=1e-5)
 
     model.propagation_method = "fixed_model"
-    idx = jnp.array([0, 1, 2, 3, 0, 1, 2, 3])
-    m, lv = model.forward_propagated(params, x, propagation_indices=idx)
-    for i in range(8):
+    # fixed_model takes a persistent batch PERMUTATION; rows in the e-th shard of
+    # the permutation are computed by member e (equal-shard TSinf semantics,
+    # reference gaussian_mlp.py:156-216)
+    perm = jnp.array([3, 1, 7, 5, 0, 2, 4, 6], dtype=jnp.int32)
+    m, lv = model.forward_propagated(params, x, propagation_indices=perm)
+    rows_per_member = 2
+    for rank in range(8):
+        row = int(perm[rank])
+        member = rank // rows_per_member
         np.testing.assert_allclose(
-            np.asarray(m[i]), np.asarray(mean_all[int(idx[i]), i]), rtol=1e-5
+            np.asarray(m[row]), np.asarray(mean_all[member, row]), rtol=1e-5
         )
 
     model.propagation_method = "random_model"
