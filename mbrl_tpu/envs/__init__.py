@@ -23,6 +23,14 @@ def __getattr__(name):
         from .truncated_obs import HumanoidTruncatedObsEnv
 
         return HumanoidTruncatedObsEnv
+    if name == "PetsPusherEnv":
+        from .pets_pusher import PusherEnv
+
+        return PusherEnv
+    if name == "PetsReacher3DEnv":
+        from .pets_reacher import Reacher3DEnv
+
+        return Reacher3DEnv
     if name == "MujocoGymPixelWrapper":
         from .mujoco_pixel_wrapper import MujocoGymPixelWrapper
 

@@ -64,6 +64,8 @@ class GaussianMLP:
         learn_logvar_bounds: bool = False,
         activation: str = "relu",
         compute_dtype=jnp.float32,
+        use_pallas: bool = False,
+        pallas_tile: int = 512,
     ):
         if activation not in _ACTIVATIONS:
             raise ValueError(
@@ -79,6 +81,10 @@ class GaussianMLP:
         self.learn_logvar_bounds = learn_logvar_bounds
         self.activation = _ACTIVATIONS[activation]
         self.compute_dtype = compute_dtype
+        # Pallas fused-MLP rollout kernel (keeps the whole layer chain in VMEM);
+        # applies to the equal-shard propagation path when shapes tile.
+        self.use_pallas = use_pallas
+        self.pallas_tile = pallas_tile
 
     # ------------------------------------------------------------------ #
     # Params
@@ -206,7 +212,27 @@ class GaussianMLP:
         num_used = p["head"]["w"].shape[0]
         batch = x.shape[0]
         h = x[perm].reshape(num_used, batch // num_used, x.shape[-1])
-        mean, logvar = self.forward(p, h)
+        if self.use_pallas and (batch // num_used) % self.pallas_tile == 0:
+            from mbrl_tpu.ops.pallas_kernels import fused_ensemble_mlp
+
+            raw = fused_ensemble_mlp(
+                h.astype(self.compute_dtype),
+                tuple(l["w"] for l in p["layers"]),
+                tuple(l["b"] for l in p["layers"]),
+                p["head"]["w"],
+                p["head"]["b"],
+                activation=self.activation,
+                tile=self.pallas_tile,
+            )
+            if self.deterministic:
+                mean, logvar = raw, None
+            else:
+                mean = raw[..., : self.out_size]
+                logvar = raw[..., self.out_size :]
+                logvar = p["max_logvar"] - jax.nn.softplus(p["max_logvar"] - logvar)
+                logvar = p["min_logvar"] + jax.nn.softplus(logvar - p["min_logvar"])
+        else:
+            mean, logvar = self.forward(p, h)
         mean = mean.reshape(batch, -1)
         if logvar is not None:
             logvar = logvar.reshape(batch, -1)

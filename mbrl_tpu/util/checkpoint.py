@@ -1,0 +1,104 @@
+"""Unified training-state checkpointing (orbax-backed with pickle fallback).
+
+Capability parity with the reference's checkpoint layout (SURVEY.md §5.4 —
+file-per-concern: model.pth / env_stats.pickle / replay_buffer.npz / sac.pth,
+reconstructed from the saved config), extended the TPU way: one atomic checkpoint of
+the FULL training state pytree (model params, optimizer state, SAC state, PRNG key,
+env-step counters) for true mid-run resume, which the reference lacks (its "resume"
+only rebuilds objects from a results dir).
+"""
+from __future__ import annotations
+
+import pathlib
+import pickle
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_CKPT_SUBDIR = "checkpoint"
+
+
+def _to_host(tree: Any) -> Any:
+    return jax.device_get(tree)
+
+
+def save_checkpoint(
+    ckpt_dir, state: Dict[str, Any], step: int, keep: int = 3
+) -> pathlib.Path:
+    """Atomically save a full training-state pytree; prunes old checkpoints."""
+    ckpt_dir = pathlib.Path(ckpt_dir) / _CKPT_SUBDIR
+    ckpt_dir.mkdir(parents=True, exist_ok=True)
+    host = _to_host(state)
+    tmp = ckpt_dir / f"step_{step}.tmp"
+    final = ckpt_dir / f"step_{step}.pkl"
+    try:
+        import orbax.checkpoint as ocp
+
+        path = ckpt_dir / f"step_{step}_orbax"
+        if not path.exists():
+            with ocp.PyTreeCheckpointer() as ckptr:
+                ckptr.save(path.absolute(), host)
+            final = path
+        else:
+            raise FileExistsError(path)
+    except Exception:
+        # pickle fallback (also used when orbax rejects exotic leaves)
+        with open(tmp, "wb") as f:
+            pickle.dump(host, f)
+        tmp.rename(final)
+
+    _prune(ckpt_dir, keep)
+    return final
+
+
+def _step_of(path: pathlib.Path) -> int:
+    stem = path.name.replace("_orbax", "").replace(".pkl", "")
+    return int(stem.split("_")[1])
+
+
+def _prune(ckpt_dir: pathlib.Path, keep: int) -> None:
+    ckpts = sorted(
+        [p for p in ckpt_dir.iterdir() if p.name.startswith("step_") and not p.name.endswith(".tmp")],
+        key=_step_of,
+    )
+    for old in ckpts[:-keep]:
+        if old.is_dir():
+            import shutil
+
+            shutil.rmtree(old)
+        else:
+            old.unlink()
+
+
+def latest_checkpoint(ckpt_dir) -> Optional[pathlib.Path]:
+    ckpt_dir = pathlib.Path(ckpt_dir) / _CKPT_SUBDIR
+    if not ckpt_dir.exists():
+        return None
+    ckpts = sorted(
+        [p for p in ckpt_dir.iterdir() if p.name.startswith("step_") and not p.name.endswith(".tmp")],
+        key=_step_of,
+    )
+    return ckpts[-1] if ckpts else None
+
+
+def restore_checkpoint(path, target: Optional[Dict[str, Any]] = None) -> Dict[str, Any]:
+    """Load a checkpoint; leaves return as device arrays (numpy for int/bool
+    metadata). ``target`` (optional) provides the pytree structure for orbax."""
+    path = pathlib.Path(path)
+    if path.is_dir():
+        import orbax.checkpoint as ocp
+
+        with ocp.PyTreeCheckpointer() as ckptr:
+            host = ckptr.restore(path.absolute())
+    else:
+        with open(path, "rb") as f:
+            host = pickle.load(f)
+
+    def conv(x):
+        if isinstance(x, (np.ndarray, np.generic)):
+            return jnp.asarray(x)
+        return x
+
+    return jax.tree_util.tree_map(conv, host)

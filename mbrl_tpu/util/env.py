@@ -128,6 +128,8 @@ _CUSTOM_ENVS = {
     "cartpole_pets_version": "PetsCartPoleEnv",
     "ant_truncated_obs": "AntTruncatedObsEnv",
     "humanoid_truncated_obs": "HumanoidTruncatedObsEnv",
+    "pets_pusher": "PetsPusherEnv",
+    "pets_reacher": "PetsReacher3DEnv",
 }
 
 
