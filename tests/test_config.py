@@ -65,3 +65,30 @@ def test_instantiate_nested():
 
     with pytest.raises(ValueError):
         instantiate(Config({"no_target": 1}))
+
+
+import pytest as _pytest
+
+
+@_pytest.mark.parametrize(
+    "override_file",
+    sorted(p.stem for p in (_CONF_DIR / "overrides").glob("*.yaml")),
+)
+def test_all_override_files_compose(override_file):
+    """Every per-env override file must compose with its algorithm group."""
+    algo = override_file.split("_")[0]
+    overrides = [f"overrides={override_file}"]
+    if algo in ("mbpo", "planet"):
+        overrides.append(f"algorithm={algo}")
+    if algo == "planet":
+        overrides.append("dynamics_model=planet")
+    cfg = load_config(_CONF_DIR, "main", overrides=overrides)
+    assert cfg.overrides.env
+    assert cfg.algorithm.name in ("pets", "mbpo", "planet")
+    # interpolated hyperparameters resolved to numbers where the group needs them
+    if algo == "pets" and "mppi" not in override_file:
+        assert isinstance(cfg.algorithm.agent.optimizer.num_iterations, int)
+    if algo == "mbpo":
+        assert cfg.overrides.sac_batch_size > 0
+    if algo == "planet":
+        assert cfg.overrides.sequence_length > 0

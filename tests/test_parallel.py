@@ -118,3 +118,33 @@ def test_graft_entry_compiles():
     mean, logvar = out
     assert mean.shape == (7, 512, 18)
     assert np.isfinite(np.asarray(mean)).all()
+
+
+def test_env_worker_pool():
+    from mbrl_tpu.parallel.env_workers import EnvWorkerPool
+    from mbrl_tpu.util.replay_buffer import ReplayBuffer
+    import sys
+    sys.path.insert(0, str(__import__("pathlib").Path(__file__).parent))
+    from test_algorithms import MockLineEnv
+
+    pool = EnvWorkerPool(MockLineEnv, num_workers=4, seed=0)
+    try:
+        assert pool.current_obs.shape == (4, 2)
+
+        class BatchedRandomAgent:
+            def act(self, obs, sample=True, batched=False):
+                return np.random.uniform(-1, 1, (obs.shape[0], 1))
+
+        buf = ReplayBuffer(1000, (2,), (1,))
+        episode_rewards = pool.collect(BatchedRandomAgent(), 35, replay_buffer=buf)
+        # MockLineEnv truncates at 30 steps: each worker finished one episode
+        assert len(episode_rewards) == 4
+        assert len(buf) == 4 * 35
+        # stored transitions are consistent: next_obs[t] = dynamics(obs[t], act[t])
+        all_data = buf.get_all()
+        pred_vel = all_data.obs[:, 1] + all_data.act[:, 0]
+        np.testing.assert_allclose(all_data.next_obs[:, 1], pred_vel, rtol=1e-5)
+        obs = pool.reset(seed=100)
+        np.testing.assert_allclose(obs[:, 0], 1.0)
+    finally:
+        pool.close()
