@@ -270,6 +270,11 @@ def instantiate(node: Union[Config, Dict[str, Any]], **extra_kwargs) -> Any:
         else:
             if v == MISSING:
                 raise ValueError(f"Mandatory field {k!r} (???) not filled before instantiate")
+            if isinstance(v, str) and _INTERP_RE.search(v):
+                raise ValueError(
+                    f"Field {k!r} contains an unresolved interpolation {v!r} — the "
+                    "referenced config path does not exist (check override names)"
+                )
             kwargs[k] = v
     kwargs.update(extra_kwargs)
     return target(**kwargs)

@@ -74,6 +74,8 @@ class ModelTrainer:
         # Models whose loss is stochastic (e.g. PlaNet's latent sampling) take a
         # PRNG key; detected by attribute.
         self._stochastic_loss = getattr(model, "stochastic_loss", False)
+        # NOTE: no buffer donation here — the host loop snapshots params pytrees
+        # (best-weights restore), which donation would invalidate
         self._jit_epoch = jax.jit(self._epoch_impl)
         self._jit_eval = jax.jit(self._eval_impl)
 

@@ -20,10 +20,8 @@ TPU re-design:
 """
 from __future__ import annotations
 
-import math
 import time
-from functools import partial
-from typing import Any, Callable, List, Optional, Sequence, Tuple
+from typing import Any, List, Optional, Sequence
 
 import jax
 import jax.numpy as jnp

@@ -140,11 +140,11 @@ def test_pets_icem_mock_line_env():
 
 def test_pets_mppi_mock_line_env():
     cfg = _pets_cfg(["action_optimizer=mppi"])
-    cfg.overrides["num_iterations"] = 5
-    cfg.overrides["population_size"] = 150
-    cfg.overrides["gamma"] = 10.0
-    cfg.overrides["sigma"] = 0.5
-    cfg.overrides["beta"] = 0.7
+    cfg.overrides["mppi_num_iters"] = 5
+    cfg.overrides["mppi_population_size"] = 150
+    cfg.overrides["mppi_gamma"] = 10.0
+    cfg.overrides["mppi_sigma"] = 0.5
+    cfg.overrides["mppi_beta"] = 0.7
     from mbrl_tpu.config.engine import resolve_interpolations
 
     resolve_interpolations(cfg)
