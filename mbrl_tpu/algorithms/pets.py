@@ -21,6 +21,7 @@ import numpy as np
 
 import mbrl_tpu.constants
 from mbrl_tpu.config import Config, complete_agent_cfg, create_one_dim_tr_model, instantiate
+from mbrl_tpu.util import checkpoint as ckpt
 from mbrl_tpu.models import ModelEnv, ModelTrainer
 from mbrl_tpu.planning import RandomAgent, create_trajectory_optim_agent_for_model
 from mbrl_tpu.util import common as util_common
@@ -69,14 +70,22 @@ def train(
         action_type=dtype,
         reward_type=dtype,
     )
-    util_common.rollout_agent_trajectories(
-        env,
-        cfg.algorithm.initial_exploration_steps,
-        RandomAgent(env),
-        {},
-        replay_buffer=replay_buffer,
-    )
-    replay_buffer.save(work_dir)
+    resume_snap = None
+    if cfg.get("resume", False):
+        latest = ckpt.latest_checkpoint(work_dir)
+        if latest is not None:
+            resume_snap = ckpt.restore_checkpoint(latest)
+            replay_buffer.load(work_dir)
+            print(f"Resuming from {latest}; skipping initial exploration.")
+    if resume_snap is None:
+        util_common.rollout_agent_trajectories(
+            env,
+            cfg.algorithm.initial_exploration_steps,
+            RandomAgent(env),
+            {},
+            replay_buffer=replay_buffer,
+        )
+        replay_buffer.save(work_dir)
 
     # ---------- Create model environment and agent -----------
     model_env = ModelEnv(dynamics_model, termination_fn, reward_fn)
@@ -97,6 +106,18 @@ def train(
     env_steps = 0
     current_trial = 0
     max_total_reward = -np.inf
+
+    # mid-run resume: restore model/planner state + counters from the newest
+    # checkpoint in the work dir (reference has no mid-run resume; SURVEY.md §5.4)
+    if resume_snap is not None:
+        model_state = resume_snap["model_state"]
+        key = resume_snap["key"]
+        env_steps = int(resume_snap["env_steps"])
+        current_trial = int(resume_snap["current_trial"])
+        max_total_reward = float(resume_snap["max_total_reward"])
+        agent.set_eval_state(model_state)
+        print(f"Resumed at env step {env_steps}.")
+    checkpoint_every = cfg.get("checkpoint_every", 0)
     while env_steps < cfg.overrides.num_steps:
         obs, _ = env.reset()
         agent.reset()
@@ -115,6 +136,18 @@ def train(
                     work_dir=work_dir,
                 )
                 agent.set_eval_state(model_state)
+                if checkpoint_every and env_steps and env_steps % checkpoint_every == 0:
+                    ckpt.save_checkpoint(
+                        work_dir,
+                        {
+                            "model_state": model_state,
+                            "key": key,
+                            "env_steps": env_steps,
+                            "current_trial": current_trial,
+                            "max_total_reward": max_total_reward,
+                        },
+                        step=env_steps,
+                    )
 
             next_obs, reward, terminated, truncated, _ = (
                 util_common.step_env_and_add_to_buffer(

@@ -25,30 +25,31 @@ def _to_host(tree: Any) -> Any:
 
 
 def save_checkpoint(
-    ckpt_dir, state: Dict[str, Any], step: int, keep: int = 3
+    ckpt_dir, state: Dict[str, Any], step: int, keep: int = 3, use_orbax: bool = False
 ) -> pathlib.Path:
-    """Atomically save a full training-state pytree; prunes old checkpoints."""
+    """Atomically save a full training-state pytree; prunes old checkpoints.
+
+    Default serialization is pickle: it preserves custom pytree dataclasses
+    (NormalizerState, SACState) exactly. ``use_orbax=True`` writes an orbax
+    PyTree checkpoint instead (restores as plain containers; pass a ``target``
+    to :func:`restore_checkpoint` to rebuild structure) — useful for very large
+    or multi-host state."""
     ckpt_dir = pathlib.Path(ckpt_dir) / _CKPT_SUBDIR
     ckpt_dir.mkdir(parents=True, exist_ok=True)
     host = _to_host(state)
-    tmp = ckpt_dir / f"step_{step}.tmp"
-    final = ckpt_dir / f"step_{step}.pkl"
-    try:
+    if use_orbax:
         import orbax.checkpoint as ocp
 
         path = ckpt_dir / f"step_{step}_orbax"
-        if not path.exists():
-            with ocp.PyTreeCheckpointer() as ckptr:
-                ckptr.save(path.absolute(), host)
-            final = path
-        else:
-            raise FileExistsError(path)
-    except Exception:
-        # pickle fallback (also used when orbax rejects exotic leaves)
-        with open(tmp, "wb") as f:
-            pickle.dump(host, f)
-        tmp.rename(final)
-
+        with ocp.PyTreeCheckpointer() as ckptr:
+            ckptr.save(path.absolute(), host)
+        _prune(ckpt_dir, keep)
+        return path
+    tmp = ckpt_dir / f"step_{step}.tmp"
+    final = ckpt_dir / f"step_{step}.pkl"
+    with open(tmp, "wb") as f:
+        pickle.dump(host, f)
+    tmp.rename(final)
     _prune(ckpt_dir, keep)
     return final
 
@@ -92,6 +93,11 @@ def restore_checkpoint(path, target: Optional[Dict[str, Any]] = None) -> Dict[st
 
         with ocp.PyTreeCheckpointer() as ckptr:
             host = ckptr.restore(path.absolute())
+        if target is not None:
+            host = jax.tree_util.tree_unflatten(
+                jax.tree_util.tree_structure(target),
+                jax.tree_util.tree_leaves(host),
+            )
     else:
         with open(path, "rb") as f:
             host = pickle.load(f)
