@@ -98,6 +98,43 @@ class _ImaginedRolloutProgram:
         )
 
 
+def rollout_model_and_populate_sac_buffer(
+    model_env: ModelEnv,
+    model_state,
+    replay_buffer,
+    sac: SAC,
+    sac_state,
+    sac_buffer: DeviceReplayBuffer,
+    sac_buf_state,
+    sac_samples_action: bool,
+    rollout_horizon: int,
+    batch_size: int,
+    key,
+):
+    """Branched imagined rollouts from replay-sampled states into the device SAC
+    buffer (reference mbpo.py:31-63), as one jitted program. Returns the new
+    device-buffer state. (The training loop keeps a cached _ImaginedRolloutProgram
+    instead of rebuilding one per call.)"""
+    prog = _ImaginedRolloutProgram(model_env, sac, sac_buffer, sac_samples_action)
+    initial_obs = replay_buffer.sample(batch_size).obs
+    return prog.run(
+        model_state, sac_state.policy, sac_buf_state, initial_obs, key, rollout_horizon
+    )
+
+
+def maybe_replace_sac_buffer(
+    sac_buffer, sac_buf_state, obs_dim: int, act_dim: int, new_capacity: int
+):
+    """Recreate the device SAC buffer at a new capacity, migrating the newest
+    contents (reference mbpo.py:88-113)."""
+    if sac_buffer is None:
+        buf = DeviceReplayBuffer(new_capacity, obs_dim, act_dim)
+        return buf, buf.init()
+    if sac_buffer.capacity == new_capacity:
+        return sac_buffer, sac_buf_state
+    return sac_buffer.resize(sac_buf_state, new_capacity)
+
+
 def evaluate(env, agent: SACAgent, num_episodes: int, video_recorder=None) -> float:
     avg_episode_reward = 0.0
     for episode in range(num_episodes):
@@ -213,13 +250,9 @@ def train(
             * cfg.overrides.num_epochs_to_retain_sac_buffer
         )
         if sac_buffer is None or sac_buffer.capacity != sac_buffer_capacity:
-            if sac_buffer is None:
-                sac_buffer = DeviceReplayBuffer(sac_buffer_capacity, obs_dim, act_dim)
-                sac_buf_state = sac_buffer.init()
-            else:
-                sac_buffer, sac_buf_state = sac_buffer.resize(
-                    sac_buf_state, sac_buffer_capacity
-                )
+            sac_buffer, sac_buf_state = maybe_replace_sac_buffer(
+                sac_buffer, sac_buf_state, obs_dim, act_dim, sac_buffer_capacity
+            )
             rollout_prog = _ImaginedRolloutProgram(
                 model_env, sac, sac_buffer, cfg.algorithm.sac_samples_action
             )
