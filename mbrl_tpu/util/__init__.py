@@ -1,3 +1,4 @@
+from .logger import Logger
 from .replay_buffer import (
     BootstrapIterator,
     ReplayBuffer,
@@ -6,6 +7,7 @@ from .replay_buffer import (
     TransitionIterator,
     stack_iterator,
 )
+from .video import VideoRecorder
 
 __all__ = [
     "ReplayBuffer",
@@ -14,4 +16,20 @@ __all__ = [
     "SequenceTransitionIterator",
     "SequenceTransitionSampler",
     "stack_iterator",
+    "Logger",
+    "VideoRecorder",
+    "create_handler",
+    "create_handler_from_str",
+    "EnvHandler",
+    "Freeze",
 ]
+
+
+def __getattr__(name):
+    # env-handler names re-exported lazily (they import gymnasium + mujoco)
+    if name in ("create_handler", "create_handler_from_str", "EnvHandler", "Freeze",
+                "GenericEnvHandler", "MujocoEnvHandler"):
+        from mbrl_tpu.util import env as _env
+
+        return getattr(_env, name)
+    raise AttributeError(name)
