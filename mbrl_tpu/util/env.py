@@ -238,12 +238,59 @@ class MujocoEnvHandler(EnvHandler):
         env.unwrapped.set_state(qpos, qvel)
 
 
+class DmcontrolEnvHandler(EnvHandler):
+    """physics.get_state/set_state freeze for dm_control-backed envs.
+    Parity: reference mbrl/util/dmcontrol.py:18-103."""
+
+    class freeze(Freeze):  # noqa: N801
+        def __init__(self, env):
+            self.env = env
+            self._state = None
+
+        def __enter__(self):
+            self._state = DmcontrolEnvHandler.get_current_state(self.env)
+            return self
+
+        def __exit__(self, *args):
+            DmcontrolEnvHandler.set_env_state(self._state, self.env)
+
+    @staticmethod
+    def is_correct_env_type(env) -> bool:
+        return hasattr(env.unwrapped, "_env") and hasattr(
+            getattr(env.unwrapped, "_env", None), "physics"
+        )
+
+    @staticmethod
+    def make_env_from_str(env_name: str) -> gym.Env:
+        domain, task = env_name.split("___")[1].split("--")
+        from mbrl_tpu.util.dmcontrol_wrapper import DmControlEnv
+
+        return DmControlEnv(domain, task)
+
+    @staticmethod
+    def get_current_state(env) -> Tuple:
+        physics = env.unwrapped._env.physics
+        return (physics.get_state().copy(),)
+
+    @staticmethod
+    def set_env_state(state: Tuple, env) -> None:
+        physics = env.unwrapped._env.physics
+        with physics.reset_context():
+            physics.set_state(state[0])
+
+
 def create_handler(cfg) -> EnvHandler:
     """Pick a handler from the env name in the config."""
     return create_handler_from_str(cfg.overrides.env)
 
 
 def create_handler_from_str(env_name: str) -> EnvHandler:
+    if env_name.startswith("dmcontrol___"):
+        return DmcontrolEnvHandler()
+    if env_name in ("pets_halfcheetah", "pets_cartpole", "cartpole_pets_version",
+                    "pets_pusher", "pets_reacher", "ant_truncated_obs",
+                    "humanoid_truncated_obs"):
+        return MujocoEnvHandler()
     if env_name.startswith("gym___") and any(
         tok in env_name for tok in ("HalfCheetah", "Hopper", "Walker", "Ant", "Humanoid", "Inverted", "Reacher", "Pusher", "Swimmer")
     ):

@@ -90,3 +90,23 @@ def test_mujoco_handler_freeze():
     state_after = MujocoEnvHandler.get_current_state(env)
     np.testing.assert_allclose(state_before[0], state_after[0])
     np.testing.assert_allclose(state_before[1], state_after[1])
+
+
+def test_dmcontrol_handler_freeze():
+    import os
+
+    os.environ.setdefault("MUJOCO_GL", "egl")
+    from mbrl_tpu.util.dmcontrol_wrapper import DmControlEnv
+    from mbrl_tpu.util.env import DmcontrolEnvHandler, create_handler_from_str
+
+    assert isinstance(
+        create_handler_from_str("dmcontrol___cartpole--balance"), DmcontrolEnvHandler
+    )
+    env = DmControlEnv("cartpole", "balance", seed=0)
+    env.reset()
+    before = DmcontrolEnvHandler.get_current_state(env)
+    with DmcontrolEnvHandler.freeze(env):
+        for _ in range(5):
+            env.step(env.action_space.sample())
+    after = DmcontrolEnvHandler.get_current_state(env)
+    np.testing.assert_allclose(before[0], after[0])
