@@ -223,8 +223,11 @@ def train(
     )
 
     # ----------------- loop -----------------
+    # NOTE: read freq_train_model from overrides (the interpolation source) so
+    # post-load override changes stay consistent with the retraining trigger below
     rollout_batch_size = (
-        cfg.overrides.effective_model_rollouts_per_step * cfg.algorithm.freq_train_model
+        cfg.overrides.effective_model_rollouts_per_step
+        * cfg.overrides.freq_train_model
     )
     trains_per_epoch = int(
         np.ceil(cfg.overrides.epoch_length / cfg.overrides.freq_train_model)

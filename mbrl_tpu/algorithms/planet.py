@@ -175,6 +175,11 @@ def train(
             action = agent.act(obs) + action_noise
             action = np.clip(action, -1.0, 1.0).astype(env.action_space.dtype)
             next_obs, reward, terminated, truncated, _ = env.step(action)
+            # manual trial-length truncation must be stored WITH the transition so
+            # the trajectory-tracking buffer closes the segment
+            trial_length = cfg.overrides.get("trial_length", None)
+            if trial_length and steps_in_trial + 1 >= trial_length:
+                truncated = True
             replay_buffer.add(obs, action, next_obs, reward, terminated, truncated)
             episode_reward += reward
             obs = next_obs
@@ -182,11 +187,6 @@ def train(
                 print(f"step: {step}, reward: {reward}.")
             step += 1
             steps_in_trial += 1
-            if cfg.overrides.get("trial_length", None) and steps_in_trial >= cfg.overrides.trial_length:
-                truncated = True
-        if replay_buffer.stores_trajectories and not (terminated or truncated is False):
-            # ensure the trajectory is closed if the env didn't signal it
-            pass
         total_rewards += episode_reward
         if logger is not None:
             logger.log_data(

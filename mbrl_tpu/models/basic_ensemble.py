@@ -120,7 +120,7 @@ class BasicEnsemble:
         elif method == "fixed_model":
             if propagation_indices is None:
                 raise ValueError("fixed_model propagation requires propagation_indices")
-            idx = propagation_indices
+            idx = propagation_indices % num_used
         elif method == "expectation":
             return mean.mean(axis=0), None if logvar is None else logvar.mean(axis=0)
         else:

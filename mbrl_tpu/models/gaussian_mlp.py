@@ -8,11 +8,10 @@ truncated-normal init mbrl/models/util.py:15-28), re-designed TPU-first:
   - all ensemble members evaluate in ONE batched einsum over a leading member axis
     (the reference's ``EnsembleLinearLayer`` bmm, mbrl/models/util.py:31-77, becomes an
     ``ebi,eio->ebo`` contraction — large MXU matmuls, no Python loops);
-  - uncertainty propagation computes every (elite) member's output and gathers rows by
-    propagation index. The reference instead permutes + reshards the batch so each
-    member sees B/E rows (gaussian_mlp.py:156-216) — an approximation it documents
-    (gaussian_mlp.py:267-274); under vmap the full-ensemble compute is already paid,
-    so exact index-selection is both simpler and exact;
+  - uncertainty propagation uses the reference's equal-shard permute-reshape trick
+    (gaussian_mlp.py:156-216) when the batch divides the elite count — each member
+    computes only B/E rows, 1/E the FLOPs — and falls back to computing every
+    member's output with an exact per-row gather for arbitrary batch sizes;
   - elite subsetting is a fixed-size parameter gather (num_elites static), so rollout
     programs have static shapes;
   - parameters are a plain pytree; randomness is explicit PRNG keys (fixing the
@@ -85,6 +84,11 @@ class GaussianMLP:
         # applies to the equal-shard propagation path when shapes tile.
         self.use_pallas = use_pallas
         self.pallas_tile = pallas_tile
+        # params excluded from gradient updates (reference: min/max_logvar are
+        # nn.Parameters with requires_grad=learn_logvar_bounds, gaussian_mlp.py:118-124)
+        self.frozen_param_keys = (
+            () if (deterministic or learn_logvar_bounds) else ("min_logvar", "max_logvar")
+        )
 
     # ------------------------------------------------------------------ #
     # Params

@@ -91,13 +91,25 @@ class ModelTrainer:
             loss, meta = self.model.loss(state, batch)
         return loss, meta
 
+    def _split_params(self, params):
+        """(trainable, static): non-float leaves plus explicitly frozen keys (e.g.
+        GaussianMLP's logvar bounds with learn_logvar_bounds=False) go static."""
+        diff, static = partition_params(params)
+        for key in getattr(self.model, "frozen_param_keys", ()):
+            if isinstance(diff, dict) and diff.get(key) is not None:
+                static = dict(static)
+                static[key] = diff[key]
+                diff = dict(diff)
+                diff[key] = None
+        return diff, static
+
     def _epoch_impl(self, params, opt_state, normalizer, stacked: TransitionBatch, key):
         """Scan one full epoch of minibatch updates; returns mean train loss and the
         stacked per-batch metadata.
 
-        Gradients/optimizer run over the float leaves only (int data leaves like the
-        elite indices ride along untouched)."""
-        diff, static = partition_params(params)
+        Gradients/optimizer run over the trainable float leaves only (int data
+        leaves like the elite indices, and frozen keys, ride along untouched)."""
+        diff, static = self._split_params(params)
 
         def step(carry, batch):
             diff, opt_state, key = carry
@@ -162,7 +174,7 @@ class ModelTrainer:
 
         params = state["params"]
         normalizer = state.get("normalizer", None)
-        opt_state = self.optimizer.init(partition_params(params)[0])
+        opt_state = self.optimizer.init(self._split_params(params)[0])
         if key is None:
             key = jax.random.PRNGKey(self._train_iteration)
 
@@ -263,8 +275,16 @@ class ModelTrainer:
         return new_state, training_losses, val_scores
 
     def _stack_eval(self, dataset) -> TransitionBatch:
-        """Whole validation set as one device batch (bootstrap OFF)."""
-        from mbrl_tpu.util.replay_buffer import BootstrapIterator, TransitionIterator
+        """Whole validation set as one device batch (bootstrap OFF).
+
+        For sequence iterators the underlying ``transitions`` attribute holds the
+        valid-start index array, so the windows are materialized by iterating."""
+        from mbrl_tpu.util.replay_buffer import (
+            BootstrapIterator,
+            SequenceTransitionIterator,
+            SequenceTransitionSampler,
+            TransitionIterator,
+        )
 
         if not isinstance(dataset, TransitionIterator):
             return jax.tree_util.tree_map(jnp.asarray, dataset)
@@ -273,7 +293,15 @@ class ModelTrainer:
             dataset.toggle_bootstrap()
             toggled = True
         try:
-            all_data = dataset.transitions
+            if isinstance(
+                dataset, (SequenceTransitionIterator, SequenceTransitionSampler)
+            ):
+                batches = list(dataset)
+                all_data = jax.tree_util.tree_map(
+                    lambda *xs: np.concatenate(xs, axis=0), *batches
+                )
+            else:
+                all_data = dataset.transitions
             batch = jax.tree_util.tree_map(
                 lambda x: jnp.asarray(np.asarray(x)), all_data
             )

@@ -55,6 +55,7 @@ class TransitionRewardModel:
         self.model = model
         # default: all members are elite (reference one_dim_tr_model.py:99-101)
         self.num_elites = num_elites or getattr(model, "num_members", 1)
+        self.frozen_param_keys = getattr(model, "frozen_param_keys", ())
         self.target_is_delta = target_is_delta
         self.normalize = normalize
         self.normalize_double_precision = normalize_double_precision

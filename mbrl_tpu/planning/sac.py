@@ -144,9 +144,15 @@ class SAC:
         """Reparameterized tanh-Gaussian sample -> (action, log_prob, mean_action)."""
         mean, log_std = self._policy_dist(policy_params, obs)
         if log_std is None:  # deterministic policy with exploration noise
-            noise = jax.random.normal(key, mean.shape) * 0.1
+            # reference pranz24 clamps the noise to (-0.25, 0.25); also keep the
+            # emitted action inside the action space
+            noise = jnp.clip(jax.random.normal(key, mean.shape) * 0.1, -0.25, 0.25)
             action = jnp.tanh(mean) * self.action_scale + self.action_bias
-            noisy = action + noise
+            noisy = jnp.clip(
+                action + noise,
+                self.action_bias - self.action_scale,
+                self.action_bias + self.action_scale,
+            )
             return noisy, jnp.zeros(mean.shape[:-1] + (1,)), action
         std = jnp.exp(log_std)
         x = mean + std * jax.random.normal(key, mean.shape)

@@ -296,7 +296,10 @@ class ICEMOptimizer(Optimizer):
                 )
                 kept = jnp.concatenate([kept[:, 1:, :], end_action[:, None, :]], axis=1)
             elif i == self.num_iterations - 1:
-                kept = jnp.broadcast_to(mu, (self.keep_elite_size,) + mu.shape)
+                # the reference appends the running mean as a SINGLE candidate at
+                # the last iteration (trajectory_opt.py:458-459); iterations are
+                # statically unrolled so the smaller concat shape is fine
+                kept = mu[None]
             kept = jnp.where(elite_valid, kept, jnp.broadcast_to(mu, kept.shape))
             population = jnp.concatenate([population, kept], axis=0)
 

@@ -330,7 +330,7 @@ def rollout_model_env(
     obs_history = []
     reward_history = []
     if agent:
-        plan = agent.plan(initial_obs[None, :])
+        plan = agent.plan(initial_obs)
     obs0 = jnp.broadcast_to(jnp.asarray(initial_obs, jnp.float32), (num_samples,) + initial_obs.shape)
     key, k_reset = jax.random.split(key)
     model_state = model_env.reset(model_wrapper_state, obs0, k_reset)
