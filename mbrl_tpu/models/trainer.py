@@ -41,9 +41,16 @@ class ModelTrainer:
         weight_decay: float = 1e-5,
         optim_eps: float = 1e-8,
         logger=None,
+        pad_epoch_to_multiple: int = 8,
     ):
         self.model = model
         self.logger = logger
+        # Round the per-epoch minibatch count up to this multiple (cycling batches
+        # from the epoch start). As the replay buffer grows between retrainings the
+        # epoch length changes every call; padding buckets the scan length so the
+        # jitted epoch recompiles O(total/(multiple*batch)) times instead of every
+        # retrain — important on backends with slow compilation.
+        self.pad_epoch_to_multiple = pad_epoch_to_multiple
         if logger is not None:
             logger.register_group(
                 self._LOG_GROUP_NAME,
@@ -198,6 +205,7 @@ class ModelTrainer:
             stacked = (
                 stack_iterator(dataset_train) if update_from_iterator else dataset_train
             )
+            stacked = self._pad_epoch(stacked)
             stacked = jax.tree_util.tree_map(jnp.asarray, stacked)
             key, k_epoch = jax.random.split(key)
             params, opt_state, batch_losses, batch_metas = self._jit_epoch(
@@ -273,6 +281,17 @@ class ModelTrainer:
                 new_state = self.model.set_elite(new_state, order[:k])
         self._train_iteration += 1
         return new_state, training_losses, val_scores
+
+    def _pad_epoch(self, stacked):
+        m = self.pad_epoch_to_multiple
+        if not m:
+            return stacked
+        n = jax.tree_util.tree_leaves(stacked)[0].shape[0]
+        bucket = ((n + m - 1) // m) * m
+        if bucket == n:
+            return stacked
+        idx = np.arange(bucket) % n
+        return jax.tree_util.tree_map(lambda x: np.asarray(x)[idx], stacked)
 
     def _stack_eval(self, dataset) -> TransitionBatch:
         """Whole validation set as one device batch (bootstrap OFF).
