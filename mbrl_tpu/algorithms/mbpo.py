@@ -32,6 +32,7 @@ from mbrl_tpu.models import ModelEnv, ModelTrainer
 from mbrl_tpu.ops.math import truncated_linear
 from mbrl_tpu.planning import RandomAgent
 from mbrl_tpu.planning.sac import SAC, SACAgent
+from mbrl_tpu.util import checkpoint as ckpt
 from mbrl_tpu.util import common as util_common
 from mbrl_tpu.util.device_buffer import DeviceReplayBuffer
 from mbrl_tpu.util.logger import Logger
@@ -205,14 +206,22 @@ def train(
         cfg, obs_shape, act_shape, rng=rng,
         obs_type=dtype, action_type=dtype, reward_type=dtype,
     )
-    random_explore = cfg.algorithm.random_initial_explore
-    util_common.rollout_agent_trajectories(
-        env,
-        cfg.algorithm.initial_exploration_steps,
-        RandomAgent(env) if random_explore else agent,
-        {} if random_explore else {"sample": True, "batched": False},
-        replay_buffer=replay_buffer,
-    )
+    resume_snap = None
+    if cfg.get("resume", False):
+        latest = ckpt.latest_checkpoint(work_dir)
+        if latest is not None:
+            resume_snap = ckpt.restore_checkpoint(latest)
+            replay_buffer.load(work_dir)
+            print(f"Resuming from {latest}; skipping initial exploration.")
+    if resume_snap is None:
+        random_explore = cfg.algorithm.random_initial_explore
+        util_common.rollout_agent_trajectories(
+            env,
+            cfg.algorithm.initial_exploration_steps,
+            RandomAgent(env) if random_explore else agent,
+            {} if random_explore else {"sample": True, "batched": False},
+            replay_buffer=replay_buffer,
+        )
 
     model_env = ModelEnv(dynamics_model, termination_fn, None)
     model_trainer = ModelTrainer(
@@ -243,6 +252,18 @@ def train(
     real_ratio = cfg.algorithm.get("real_data_ratio", 0.0)
     sac_batch_size = cfg.overrides.sac_batch_size
     num_sac_updates = cfg.overrides.num_sac_updates_per_step
+    checkpoint_every = cfg.get("checkpoint_every", 0)
+
+    if resume_snap is not None:
+        model_state = resume_snap["model_state"]
+        sac_state = resume_snap["sac_state"]
+        agent.set_state(sac_state)
+        key = resume_snap["key"]
+        env_steps = int(resume_snap["env_steps"])
+        epoch = int(resume_snap["epoch"])
+        updates_made = int(resume_snap["updates_made"])
+        best_eval_reward = float(resume_snap["best_eval_reward"])
+        print(f"Resumed at env step {env_steps} (epoch {epoch}).")
 
     while env_steps < cfg.overrides.num_steps:
         rollout_length = int(
@@ -292,6 +313,20 @@ def train(
                         jnp.asarray(all_real.next_obs, jnp.float32),
                         jnp.asarray(all_real.rewards, jnp.float32).reshape(-1, 1),
                         1.0 - jnp.asarray(all_real.terminateds, jnp.float32).reshape(-1, 1),
+                    )
+                if checkpoint_every and (env_steps + 1) % checkpoint_every == 0:
+                    ckpt.save_checkpoint(
+                        work_dir,
+                        {
+                            "model_state": model_state,
+                            "sac_state": sac_state,
+                            "key": key,
+                            "env_steps": env_steps,
+                            "epoch": epoch,
+                            "updates_made": updates_made,
+                            "best_eval_reward": best_eval_reward,
+                        },
+                        step=env_steps,
                     )
                 if debug_mode:
                     print(
