@@ -106,6 +106,9 @@ def _dispatch_child() -> None:
 
 
 def _run_child(flag: str, timeout_s: int) -> dict:
+    """Run a measurement child; merge every JSON line it printed (partial output
+    survives a timeout kill)."""
+    stdout = ""
     try:
         out = subprocess.run(
             [sys.executable, __file__, flag],
@@ -114,14 +117,29 @@ def _run_child(flag: str, timeout_s: int) -> dict:
             timeout=timeout_s,
             cwd=os.path.dirname(os.path.abspath(__file__)),
         )
-        for line in reversed(out.stdout.strip().splitlines()):
-            try:
-                return json.loads(line)
-            except json.JSONDecodeError:
-                continue
-    except (subprocess.TimeoutExpired, OSError):
+        stdout = out.stdout or ""
+    except subprocess.TimeoutExpired as e:
+        stdout = (e.stdout or b"").decode() if isinstance(e.stdout, bytes) else (e.stdout or "")
+    except OSError:
         pass
-    return {}
+    merged: dict = {}
+    for line in stdout.strip().splitlines():
+        try:
+            merged.update(json.loads(line))
+        except json.JSONDecodeError:
+            continue
+    return merged
+
+
+def _measure_child() -> None:
+    """All on-device measurements in one process (orders cheapest-compile first);
+    each prints+flushes its own JSON line so partial progress survives a kill."""
+    _dispatch_child()
+    sys.stdout.flush()
+    _cem_child()
+    sys.stdout.flush()
+    _amortized_child()
+    sys.stdout.flush()
 
 
 def _amortized_child() -> None:
@@ -158,6 +176,43 @@ def _amortized_child() -> None:
             }
         )
     )
+
+
+def _cem_child() -> None:
+    """Full CEM MPC plans (5 generations x rollout program) per second."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mbrl_tpu.planning import CEMOptimizer
+
+    env, state, seqs, obs0 = _build_env()
+    lb = np.tile([-1.0] * ACT_DIM, (HORIZON, 1)).tolist()
+    ub = np.tile([1.0] * ACT_DIM, (HORIZON, 1)).tolist()
+    cem = CEMOptimizer(5, 0.1, POPULATION, lb, ub, alpha=0.1, return_mean_elites=True)
+
+    def obj(population, st, obs, k):
+        return env._evaluate_impl(st, population, obs, k, num_particles=PARTICLES)
+
+    x0 = jnp.zeros((HORIZON, ACT_DIM))
+    key = jax.random.PRNGKey(3)
+    sol, _ = cem.optimize(obj, x0, key, obj_args=(state, obs0, jax.random.fold_in(key, 99)))
+    float(sol.sum())  # compile
+    times = []
+    for i in range(5):
+        start = time.perf_counter()
+        sol, _ = cem.optimize(
+            obj, x0, jax.random.fold_in(key, i),
+            obj_args=(state, obs0, jax.random.fold_in(key, 100 + i)),
+        )
+        float(sol.sum())
+        times.append(time.perf_counter() - start)
+    elapsed = min(times)
+    print(json.dumps({"cem_plans_per_s": 1.0 / elapsed}))
+
+
+def bench_cem(timeout_s: int = 240) -> dict:
+    return _run_child("--cem-child", timeout_s)
 
 
 def bench_amortized(timeout_s: int = 240) -> dict:
@@ -206,8 +261,10 @@ def bench_torch_cpu() -> float:
 
 
 def main() -> None:
-    amortized = bench_amortized()
-    dispatch = bench_dispatch()
+    measured = _run_child("--measure-child", timeout_s=420)
+    amortized = measured if "device_steps_per_s" in measured else {}
+    dispatch = measured if "dispatch_steps_per_s" in measured else {}
+    cem = measured
     torch_steps = bench_torch_cpu()
 
     if amortized:
@@ -232,6 +289,7 @@ def main() -> None:
             "mode": mode,
             "plans_per_s": round(plans, 2),
             "dispatch_plans_per_s": round(dispatch.get("dispatch_plans_per_s", 0.0), 2),
+            "cem_plans_per_s": round(cem.get("cem_plans_per_s", 0.0), 2),
             "torch_cpu_baseline_steps_per_s": round(torch_steps),
             "config": f"pop{POPULATION}x{PARTICLES}p_h{HORIZON}_E{ENSEMBLE}e5",
             # device throughput measured 2026-08-17 on this chip with the amortized
@@ -247,6 +305,10 @@ def main() -> None:
 if __name__ == "__main__":
     if "--amortized-child" in sys.argv:
         _amortized_child()
+    elif "--cem-child" in sys.argv:
+        _cem_child()
+    elif "--measure-child" in sys.argv:
+        _measure_child()
     elif "--dispatch-child" in sys.argv:
         _dispatch_child()
     else:
