@@ -241,7 +241,9 @@ def bench_torch_cpu() -> float:
 
     obs = torch.zeros(BATCH, OBS_DIM)
     n_plans = 2
-    with torch.no_grad():
+    best = 0.0
+    for _rep in range(3):  # best of 3: robust to transient CPU contention
+      with torch.no_grad():
         start = time.perf_counter()
         for _ in range(n_plans):
             for t in range(HORIZON):
@@ -257,7 +259,8 @@ def bench_torch_cpu() -> float:
                 sample = torch.normal(mean, torch.exp(0.5 * logvar))
                 obs = sample[:, :-1]
         elapsed = time.perf_counter() - start
-    return n_plans * TRANSITIONS_PER_PLAN / elapsed
+      best = max(best, n_plans * TRANSITIONS_PER_PLAN / elapsed)
+    return best
 
 
 def main() -> None:

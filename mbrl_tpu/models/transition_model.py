@@ -178,6 +178,13 @@ class TransitionRewardModel:
     # ------------------------------------------------------------------ #
     # Elites / persistence
     # ------------------------------------------------------------------ #
+    def set_propagation_method(self, propagation_method: Optional[str] = None) -> None:
+        """Switch the wrapped ensemble's trajectory-sampling mode (parity:
+        reference one_dim_tr_model.py:329-332). Jitted programs retrace on the
+        next call since the method is static configuration."""
+        if hasattr(self.model, "propagation_method"):
+            self.model.propagation_method = propagation_method
+
     def set_elite(self, state: Dict[str, Any], elite_indices) -> Dict[str, Any]:
         return {**state, "params": self.model.set_elite(state["params"], elite_indices)}
 

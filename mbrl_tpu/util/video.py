@@ -31,7 +31,11 @@ class VideoRecorder:
     def record(self, env) -> None:
         if not self.enabled:
             return
-        frame = env.render()
+        try:
+            frame = env.render()
+        except NotImplementedError:
+            self.enabled = False  # env cannot render; disable quietly
+            return
         if frame is not None:
             self.frames.append(np.asarray(frame))
 

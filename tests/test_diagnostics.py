@@ -170,3 +170,18 @@ def test_packaging_roundtrip(experiment_dir, tmp_path):
         payload["state"]["params"], jnp.zeros((2, payload["model"].model.in_size))
     )
     assert np.isfinite(np.asarray(m)).all()
+
+
+def test_hf_evaluate_agent_and_video(tmp_path):
+    import sys
+
+    sys.path.insert(0, str(pathlib.Path(__file__).parent))
+    from test_algorithms import MockLineEnv
+    from mbrl_tpu.planning import RandomAgent
+    from mbrl_tpu.util.huggingface import evaluate_agent
+    from mbrl_tpu.util.video import VideoRecorder
+
+    env = MockLineEnv()
+    rec = VideoRecorder(tmp_path)
+    mean, std = evaluate_agent(env, RandomAgent(env), num_episodes=2, video_recorder=rec)
+    assert np.isfinite(mean) and std >= 0
