@@ -95,7 +95,7 @@ def _pets_cfg(extra_overrides=()):
 
 
 @pytest.mark.parametrize("model_kind", ["gaussian_ensemble", "basic_ensemble"])
-def test_pets_mock_line_env(model_kind):
+def test_pets_mock_line_env(model_kind, tmp_path):
     extra = []
     if model_kind == "basic_ensemble":
         extra = ["dynamics_model=basic_ensemble"]
@@ -115,12 +115,12 @@ def test_pets_mock_line_env(model_kind):
         resolve_interpolations(cfg)
     env = MockLineEnv()
     max_reward = pets.train(
-        env, mock_term_fn, mock_reward_fn, cfg, silent=True, work_dir=None
+        env, mock_term_fn, mock_reward_fn, cfg, silent=True, work_dir=str(tmp_path)
     )
     assert max_reward > _TARGET_REWARD, max_reward
 
 
-def test_pets_icem_mock_line_env():
+def test_pets_icem_mock_line_env(tmp_path):
     cfg = _pets_cfg(["action_optimizer=icem"])
     # mirror the reference's iCEM test hyperparameters (test_algorithms.py:224-235)
     cfg.overrides["cem_population_decay_factor"] = 1.3
@@ -134,11 +134,11 @@ def test_pets_icem_mock_line_env():
 
     resolve_interpolations(cfg)
     env = MockLineEnv()
-    max_reward = pets.train(env, mock_term_fn, mock_reward_fn, cfg, silent=True)
+    max_reward = pets.train(env, mock_term_fn, mock_reward_fn, cfg, silent=True, work_dir=str(tmp_path))
     assert max_reward > _TARGET_REWARD, max_reward
 
 
-def test_pets_mppi_mock_line_env():
+def test_pets_mppi_mock_line_env(tmp_path):
     cfg = _pets_cfg(["action_optimizer=mppi"])
     cfg.overrides["mppi_num_iters"] = 5
     cfg.overrides["mppi_population_size"] = 150
@@ -149,11 +149,11 @@ def test_pets_mppi_mock_line_env():
 
     resolve_interpolations(cfg)
     env = MockLineEnv()
-    max_reward = pets.train(env, mock_term_fn, mock_reward_fn, cfg, silent=True)
+    max_reward = pets.train(env, mock_term_fn, mock_reward_fn, cfg, silent=True, work_dir=str(tmp_path))
     assert max_reward > _TARGET_REWARD, max_reward
 
 
-def test_mbpo_mock_line_env():
+def test_mbpo_mock_line_env(tmp_path):
     cfg = load_config(
         _CONF_DIR,
         "main",
@@ -187,5 +187,5 @@ def test_mbpo_mock_line_env():
 
     env = MockLineEnv()
     test_env = MockLineEnv()
-    best_reward = mbpo.train(env, test_env, mock_term_fn, cfg, silent=True)
+    best_reward = mbpo.train(env, test_env, mock_term_fn, cfg, silent=True, work_dir=str(tmp_path))
     assert best_reward > _TARGET_REWARD, best_reward

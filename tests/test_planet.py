@@ -136,7 +136,7 @@ class MockPixelEnv(gym.Env):
         return self._obs(), reward, False, self.t >= 10, {}
 
 
-def test_planet_end_to_end_smoke():
+def test_planet_end_to_end_smoke(tmp_path):
     from mbrl_tpu.config import load_config
     import pathlib
 
@@ -172,5 +172,49 @@ def test_planet_end_to_end_smoke():
     resolve_interpolations(cfg)
     import mbrl_tpu.algorithms.planet as planet_algo
 
-    avg_reward = planet_algo.train(MockPixelEnv(), cfg, silent=True, work_dir=None)
+    avg_reward = planet_algo.train(MockPixelEnv(), cfg, silent=True, work_dir=str(tmp_path))
     assert np.isfinite(avg_reward)
+
+
+def test_planet_visualizer_smoke(tmp_path):
+    """PlanetVisualizer: act in the real env, open-loop prior replay, GIF output
+    (reference diagnostics/planet_visualizer.py:23-184)."""
+    import yaml
+
+    from mbrl_tpu.config.engine import to_dict
+    from mbrl_tpu.diagnostics import PlanetVisualizer
+
+    model = _planet()
+    state = model.init(jax.random.PRNGKey(0))
+    model.save(state, tmp_path)
+
+    cfg = {
+        "seed": 0,
+        "dynamics_model": {
+            "_target_": "mbrl_tpu.models.PlaNetModel",
+            "obs_shape": list(OBS_SHAPE),
+            "obs_encoding_size": 64,
+            "encoder_config": [list(c) for c in ENC_CFG],
+            "decoder_config": [list(DEC_CFG[0]), [list(c) for c in DEC_CFG[1]]],
+            "latent_state_size": LATENT,
+            "belief_size": BELIEF,
+            "hidden_size_fcs": 32,
+        },
+        "overrides": {"env": "mock"},
+    }
+    with open(tmp_path / "config.yaml", "w") as f:
+        yaml.safe_dump(to_dict(cfg), f)
+
+    vis = PlanetVisualizer(
+        start_step=1,
+        lookahead=3,
+        model_dir=str(tmp_path),
+        seed=0,
+        num_iterations=2,
+        population_size=20,
+        planning_horizon=3,
+        env=MockPixelEnv(),
+    )
+    vis.run()
+    outputs = list((tmp_path / "diagnostics").iterdir())
+    assert outputs, "expected a visualization artifact"
