@@ -56,10 +56,14 @@ class _ImaginedRolloutProgram:
 
     def _impl(self, model_wrapper_state, policy_params, buf_state, initial_obs, key,
               horizon: int):
-        key, k_reset = jax.random.split(key)
+        key, k_reset, k_prep = jax.random.split(key, 3)
         model_state = self.model_env.dynamics_model.reset(
             model_wrapper_state, initial_obs, k_reset
         )
+        prepare = getattr(self.model_env.dynamics_model, "prepare_rollout", None)
+        if prepare is not None:
+            # batch the per-step TS1 permutation sorts before the scan
+            model_state = prepare(model_wrapper_state, model_state, horizon, k_prep)
         batch = initial_obs.shape[0]
 
         def step(carry, _):

@@ -51,6 +51,10 @@ class GaussianMLP:
     ``deterministic``. Logvar is soft-bounded between learned/fixed min/max bounds.
     """
 
+    # ModelEnv may run whole-horizon rollouts through the shard-space fast path
+    # (models/fast_rollout.py) instead of per-step sample() calls
+    supports_fast_rollout = True
+
     def __init__(
         self,
         in_size: int,
@@ -203,7 +207,11 @@ class GaussianMLP:
         return mean, logvar
 
     def _forward_sharded(
-        self, params: Params, x: jax.Array, perm: jax.Array
+        self,
+        params: Params,
+        x: jax.Array,
+        perm: jax.Array,
+        inv: Optional[jax.Array] = None,
     ) -> Tuple[jax.Array, Optional[jax.Array]]:
         """Equal-shard propagation: permute the batch, give each ELITE member an
         equal contiguous shard, forward, un-permute.
@@ -211,6 +219,8 @@ class GaussianMLP:
         This reproduces the reference's shuffle-reshape trick
         (gaussian_mlp.py:156-216) and computes only B rows total instead of E*B —
         the rollout hot path's dominant FLOP saving. Requires B %% num_elites == 0.
+        ``inv`` (the inverse permutation) can be precomputed by ``prepare_rollout``
+        so the scatter stays out of the rollout scan.
         """
         p = self._elite_view(params)
         num_used = p["head"]["w"].shape[0]
@@ -240,10 +250,11 @@ class GaussianMLP:
         mean = mean.reshape(batch, -1)
         if logvar is not None:
             logvar = logvar.reshape(batch, -1)
-        # scatter-based inverse permutation (cheaper than argsort)
-        inv = jnp.zeros((batch,), jnp.int32).at[perm].set(
-            jnp.arange(batch, dtype=jnp.int32)
-        )
+        if inv is None:
+            # scatter-based inverse permutation (cheaper than argsort)
+            inv = jnp.zeros((batch,), jnp.int32).at[perm].set(
+                jnp.arange(batch, dtype=jnp.int32)
+            )
         return mean[inv], None if logvar is None else logvar[inv]
 
     def forward_propagated(
@@ -252,6 +263,7 @@ class GaussianMLP:
         x: jax.Array,
         key: Optional[jax.Array] = None,
         propagation_indices: Optional[jax.Array] = None,
+        precomputed: Optional[Tuple[jax.Array, jax.Array]] = None,
     ) -> Tuple[jax.Array, Optional[jax.Array]]:
         """Rollout-time forward that collapses the ensemble axis per the configured
         propagation method (over ELITE members). ``x`` is ``(B, in)``; returns
@@ -272,6 +284,8 @@ class GaussianMLP:
         shardable = batch % num_used == 0
 
         if method == "random_model":
+            if precomputed is not None:
+                return self._forward_sharded(params, x, *precomputed)
             if key is None:
                 raise ValueError("random_model propagation requires a PRNG key")
             if shardable:
@@ -354,6 +368,41 @@ class GaussianMLP:
             indices = jnp.zeros((batch,), dtype=jnp.int32)
         return {"obs": obs, "propagation_indices": indices}
 
+    def prepare_rollout(
+        self,
+        params: Params,
+        model_state: Dict[str, jax.Array],
+        horizon: int,
+        key: jax.Array,
+    ) -> Dict[str, jax.Array]:
+        """Precompute all per-step propagation permutations for a fixed-horizon
+        rollout (performance hook used by ModelEnv.evaluate_action_sequences).
+
+        TS1 (random_model) draws a fresh batch permutation every step; generating
+        the full (horizon, B) stack as ONE vmapped sort plus ONE batched scatter
+        for the inverses is several times faster on TPU than ``horizon``
+        sequential sorts inside the rollout scan — semantics are identical
+        (same distribution, one permutation per step, fresh per call)."""
+        if self.propagation_method != "random_model":
+            return model_state
+        batch = model_state["obs"].shape[0]
+        num_used = int(params["elite"].shape[0])
+        if self.ensemble_size == 1 or batch % num_used != 0:
+            return model_state
+        keys = jax.random.split(key, horizon)
+        perms = jax.vmap(
+            lambda k: jax.random.permutation(k, batch).astype(jnp.int32)
+        )(keys)
+        rows = jnp.arange(horizon, dtype=jnp.int32)[:, None]
+        cols = jnp.broadcast_to(jnp.arange(batch, dtype=jnp.int32), perms.shape)
+        invs = jnp.zeros_like(perms).at[rows, perms].set(cols)
+        return {
+            **model_state,
+            "rollout_perms": perms,
+            "rollout_invs": invs,
+            "rollout_t": jnp.zeros((), jnp.int32),
+        }
+
     def sample_1d(
         self,
         params: Params,
@@ -364,11 +413,20 @@ class GaussianMLP:
     ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
         """One stochastic transition: propagated Gaussian head, reparameterized draw."""
         k_prop, k_noise = jax.random.split(key)
+        precomputed = None
+        if "rollout_perms" in model_state:
+            t = model_state["rollout_t"]
+            precomputed = (
+                jnp.take(model_state["rollout_perms"], t, axis=0, mode="clip"),
+                jnp.take(model_state["rollout_invs"], t, axis=0, mode="clip"),
+            )
+            model_state = {**model_state, "rollout_t": t + 1}
         mean, logvar = self.forward_propagated(
             params,
             model_input,
             key=k_prop,
             propagation_indices=model_state["propagation_indices"],
+            precomputed=precomputed,
         )
         if deterministic or self.deterministic or logvar is None:
             return mean, model_state

@@ -22,6 +22,7 @@ from typing import Any, Callable, Dict, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
+from mbrl_tpu.models import fast_rollout
 from mbrl_tpu.types import RewardFn, TermFn
 
 
@@ -102,6 +103,21 @@ class ModelEnv:
     ) -> jax.Array:
         population, horizon, act_dim = action_sequences.shape
         batch = population * num_particles
+        if self.particle_sharding is None and fast_rollout.supports_fast_rollout(
+            self.dynamics_model, state, batch
+        ):
+            # whole rollout in shard space: one gather per step instead of three
+            # (see models/fast_rollout.py)
+            return fast_rollout.evaluate_action_sequences_sharded(
+                self.dynamics_model,
+                state,
+                action_sequences,
+                initial_obs,
+                key,
+                num_particles,
+                reward_fn=self.reward_fn,
+                termination_fn=self.termination_fn,
+            )
         init_obs = jnp.broadcast_to(
             initial_obs, (batch,) + initial_obs.shape
         ).astype(jnp.float32)
@@ -109,8 +125,13 @@ class ModelEnv:
             init_obs = jax.lax.with_sharding_constraint(
                 init_obs, self.particle_sharding
             )
-        key, k_reset = jax.random.split(key)
+        key, k_reset, k_prep = jax.random.split(key, 3)
         model_state = self.dynamics_model.reset(state, init_obs, k_reset)
+        prepare = getattr(self.dynamics_model, "prepare_rollout", None)
+        if prepare is not None:
+            # batch per-step propagation randomness (e.g. TS1 permutations) into
+            # one wide program before the scan instead of per-iteration sorts
+            model_state = prepare(state, model_state, horizon, k_prep)
 
         # (H, P, A) for the scan; each sequence's action repeated per particle.
         acts_by_time = jnp.swapaxes(action_sequences, 0, 1)

@@ -149,6 +149,20 @@ class TransitionRewardModel:
         """Start simulated trajectories from a batch of observations."""
         return self.model.reset_1d(obs, key)
 
+    def prepare_rollout(
+        self,
+        state: Dict[str, Any],
+        model_state: Dict[str, jax.Array],
+        horizon: int,
+        key: jax.Array,
+    ) -> Dict[str, jax.Array]:
+        """Let the wrapped model precompute per-step rollout state (e.g. the full
+        stack of TS1 propagation permutations) for a fixed-horizon rollout."""
+        inner = getattr(self.model, "prepare_rollout", None)
+        if inner is None:
+            return model_state
+        return inner(state["params"], model_state, horizon, key)
+
     def sample(
         self,
         state: Dict[str, Any],

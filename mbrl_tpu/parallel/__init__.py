@@ -1,0 +1,23 @@
+from .env_workers import EnvWorkerPool
+from .mesh import (
+    DATA_AXIS,
+    MODEL_AXIS,
+    ensemble_param_sharding,
+    make_mesh,
+    replicate,
+    shard_ensemble_params,
+    shard_member_batch,
+    shard_particles,
+)
+
+__all__ = [
+    "MODEL_AXIS",
+    "DATA_AXIS",
+    "make_mesh",
+    "ensemble_param_sharding",
+    "shard_ensemble_params",
+    "shard_member_batch",
+    "shard_particles",
+    "replicate",
+    "EnvWorkerPool",
+]

@@ -48,8 +48,15 @@ class Optimizer:
     def reset_state(self, opt_state):
         return self.init_state()
 
-    def optimize(self, obj_fun, x0, key, opt_state=(), obj_args=()):
+    def optimize(self, obj_fun, x0, key, opt_state=(), obj_args=(), callback=None):
         raise NotImplementedError
+
+
+def _host_callback(callback, population, values, iteration):
+    """Per-iteration diagnostics callback (reference trajectory_opt.py:174-175):
+    ``callback(population, values, iteration)`` with host-side arrays. Runs as an
+    ordered debug callback so it composes with the scanned/jitted optimize."""
+    jax.debug.callback(callback, population, values, iteration, ordered=True)
 
 
 class CEMOptimizer(Optimizer):
@@ -75,7 +82,9 @@ class CEMOptimizer(Optimizer):
         self.alpha = alpha
         self.return_mean_elites = return_mean_elites
         self.clipped_normal = clipped_normal
-        self._jit_opt = jax.jit(self._optimize_impl, static_argnames=("obj_fun",))
+        self._jit_opt = jax.jit(
+            self._optimize_impl, static_argnames=("obj_fun", "callback")
+        )
 
     def _sample(self, key, mu, dispersion):
         shape = (self.population_size,) + mu.shape
@@ -89,18 +98,20 @@ class CEMOptimizer(Optimizer):
         noise = jax.random.truncated_normal(key, -2.0, 2.0, shape)
         return noise * jnp.sqrt(constrained_var) + mu
 
-    def _optimize_impl(self, obj_fun, x0, key, obj_args):
+    def _optimize_impl(self, obj_fun, x0, key, obj_args, callback=None):
         init_dispersion = (
             jnp.ones_like(x0)
             if self.clipped_normal
             else jnp.square(self.upper_bound - self.lower_bound) / 16.0
         )
 
-        def iteration(carry, _):
+        def iteration(carry, i):
             mu, dispersion, best_sol, best_val, key = carry
             key, k_sample = jax.random.split(key)
             population = self._sample(k_sample, mu, dispersion)
             values = _nan_guard(obj_fun(population, *obj_args))
+            if callback is not None:
+                _host_callback(callback, population, values, i)
             elite_values, elite_idx = jax.lax.top_k(values, self.elite_num)
             elite = population[elite_idx]
             new_mu = elite.mean(axis=0)
@@ -116,12 +127,17 @@ class CEMOptimizer(Optimizer):
 
         init = (x0, init_dispersion, x0, jnp.float32(-jnp.inf), key)
         (mu, _, best_sol, _, _), _ = jax.lax.scan(
-            iteration, init, None, length=self.num_iterations
+            iteration, init, jnp.arange(self.num_iterations)
         )
         return mu if self.return_mean_elites else best_sol
 
-    def optimize(self, obj_fun, x0, key, opt_state=(), obj_args=()):
-        return self._jit_opt(obj_fun, jnp.asarray(x0, jnp.float32), key, obj_args), ()
+    def optimize(self, obj_fun, x0, key, opt_state=(), obj_args=(), callback=None):
+        return (
+            self._jit_opt(
+                obj_fun, jnp.asarray(x0, jnp.float32), key, obj_args, callback
+            ),
+            (),
+        )
 
 
 class MPPIOptimizer(Optimizer):
@@ -146,16 +162,18 @@ class MPPIOptimizer(Optimizer):
         self.upper_bound = jnp.asarray(upper_bound, jnp.float32)
         self.horizon, self.action_dim = self.lower_bound.shape
         self.var = sigma**2 * jnp.ones_like(self.lower_bound)
-        self._jit_opt = jax.jit(self._optimize_impl, static_argnames=("obj_fun",))
+        self._jit_opt = jax.jit(
+            self._optimize_impl, static_argnames=("obj_fun", "callback")
+        )
 
     def init_state(self):
         return jnp.zeros((self.horizon, self.action_dim), jnp.float32)
 
-    def _optimize_impl(self, obj_fun, mean, key, obj_args):
+    def _optimize_impl(self, obj_fun, mean, key, obj_args, callback=None):
         past_action = mean[0]
         mean = jnp.concatenate([mean[1:], mean[-1:]], axis=0)
 
-        def refinement(carry, _):
+        def refinement(carry, k):
             mean, key = carry
             key, k_noise = jax.random.split(key)
             noise = jax.random.truncated_normal(
@@ -187,20 +205,22 @@ class MPPIOptimizer(Optimizer):
             population = jnp.clip(population, self.lower_bound, self.upper_bound)
 
             values = _nan_guard(obj_fun(population, *obj_args))
+            if callback is not None:
+                _host_callback(callback, population, values, k)
             weights = jnp.exp(self.gamma * (values - values.max()))[:, None, None]
             norm = weights.sum() + 1e-10
             mean = (population * weights).sum(axis=0) / norm
             return (mean, key), None
 
         (mean, _), _ = jax.lax.scan(
-            refinement, (mean, key), None, length=self.refinements
+            refinement, (mean, key), jnp.arange(self.refinements)
         )
         return mean
 
-    def optimize(self, obj_fun, x0, key, opt_state=None, obj_args=()):
+    def optimize(self, obj_fun, x0, key, opt_state=None, obj_args=(), callback=None):
         if opt_state is None or (isinstance(opt_state, tuple) and opt_state == ()):
             opt_state = self.init_state()
-        mean = self._jit_opt(obj_fun, opt_state, key, obj_args)
+        mean = self._jit_opt(obj_fun, opt_state, key, obj_args, callback=callback)
         return mean, mean
 
 
@@ -258,7 +278,9 @@ class ICEMOptimizer(Optimizer):
             )
             for i in range(num_iterations)
         ]
-        self._jit_opt = jax.jit(self._optimize_impl, static_argnames=("obj_fun",))
+        self._jit_opt = jax.jit(
+            self._optimize_impl, static_argnames=("obj_fun", "callback")
+        )
 
     def init_state(self):
         # (elite set, valid flag). A zeroed elite set with valid=False reproduces the
@@ -268,7 +290,7 @@ class ICEMOptimizer(Optimizer):
             "valid": jnp.zeros((), bool),
         }
 
-    def _optimize_impl(self, obj_fun, x0, key, opt_state, obj_args):
+    def _optimize_impl(self, obj_fun, x0, key, opt_state, obj_args, callback=None):
         mu = x0
         var = self.initial_var
         best_sol = x0
@@ -304,6 +326,8 @@ class ICEMOptimizer(Optimizer):
             population = jnp.concatenate([population, kept], axis=0)
 
             values = _nan_guard(obj_fun(population, *obj_args))
+            if callback is not None:
+                _host_callback(callback, population, values, i)
             elite_values, elite_idx = jax.lax.top_k(values, self.elite_num)
             elite = population[elite_idx]
             elite_valid = jnp.ones((), bool)
@@ -320,11 +344,16 @@ class ICEMOptimizer(Optimizer):
         out = mu if self.return_mean_elites else best_sol
         return out, {"elite": elite, "valid": elite_valid}
 
-    def optimize(self, obj_fun, x0, key, opt_state=None, obj_args=()):
+    def optimize(self, obj_fun, x0, key, opt_state=None, obj_args=(), callback=None):
         if opt_state is None or (isinstance(opt_state, tuple) and opt_state == ()):
             opt_state = self.init_state()
         return self._jit_opt(
-            obj_fun, jnp.asarray(x0, jnp.float32), key, opt_state, obj_args
+            obj_fun,
+            jnp.asarray(x0, jnp.float32),
+            key,
+            opt_state,
+            obj_args,
+            callback=callback,
         )
 
 
@@ -354,9 +383,14 @@ class TrajectoryOptimizer:
         self.previous_solution = self.initial_solution
         self.opt_state = optimizer.init_state()
 
-    def optimize(self, obj_fun, key, obj_args=()) -> np.ndarray:
+    def optimize(self, obj_fun, key, obj_args=(), callback=None) -> np.ndarray:
         solution, self.opt_state = self.optimizer.optimize(
-            obj_fun, self.previous_solution, key, self.opt_state, obj_args
+            obj_fun,
+            self.previous_solution,
+            key,
+            self.opt_state,
+            obj_args,
+            callback=callback,
         )
         if self.keep_last_solution:
             shifted = jnp.roll(solution, -self.replan_freq, axis=0)
@@ -425,7 +459,9 @@ class TrajectoryOptimizerAgent(Agent):
         self._key, sub = jax.random.split(self._key)
         return sub
 
-    def act(self, obs: np.ndarray, **_kwargs) -> np.ndarray:
+    def act(
+        self, obs: np.ndarray, optimizer_callback=None, **_kwargs
+    ) -> np.ndarray:
         if self.trajectory_eval_fn is None:
             raise RuntimeError(
                 "Call set_trajectory_eval_fn() before using TrajectoryOptimizerAgent"
@@ -439,7 +475,10 @@ class TrajectoryOptimizerAgent(Agent):
                 self._next_key(),
             )
             plan = self.optimizer.optimize(
-                self.trajectory_eval_fn, self._next_key(), obj_args=obj_args
+                self.trajectory_eval_fn,
+                self._next_key(),
+                obj_args=obj_args,
+                callback=optimizer_callback,
             )
             plan_time = time.time() - start
             self.actions_to_use.extend(list(plan[: self.replan_freq]))
@@ -448,14 +487,19 @@ class TrajectoryOptimizerAgent(Agent):
             print(f"Planning time: {plan_time:.3f}")
         return action
 
-    def plan(self, obs: np.ndarray, **_kwargs) -> np.ndarray:
+    def plan(
+        self, obs: np.ndarray, optimizer_callback=None, **_kwargs
+    ) -> np.ndarray:
         if self.trajectory_eval_fn is None:
             raise RuntimeError(
                 "Call set_trajectory_eval_fn() before using TrajectoryOptimizerAgent"
             )
         obj_args = (self._eval_state, jnp.asarray(obs, jnp.float32), self._next_key())
         return self.optimizer.optimize(
-            self.trajectory_eval_fn, self._next_key(), obj_args=obj_args
+            self.trajectory_eval_fn,
+            self._next_key(),
+            obj_args=obj_args,
+            callback=optimizer_callback,
         )
 
 

@@ -14,6 +14,16 @@ import jax.numpy as jnp
 import numpy as np
 from flax import struct
 
+__all__ = [
+    "Array",
+    "TermFn",
+    "RewardFn",
+    "TrajectoryEvalFn",
+    "ModelInput",
+    "TransitionBatch",
+    "transition_batch_like",
+]
+
 Array = Union[np.ndarray, jax.Array]
 
 # (act, next_obs) -> terminated flags, batched; pure jnp predicate.

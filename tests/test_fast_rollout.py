@@ -1,0 +1,187 @@
+"""Shard-space fast rollout (models/fast_rollout.py) vs the generic ModelEnv scan.
+
+Strategy mirrors the reference's propagation-decoding tests
+(tests/core/test_models.py:256-334): craft ensemble members with identifiable
+constant outputs so expected returns have closed forms, then check the fast path
+and the generic path agree with the analytic value (they consume PRNG streams in
+different orders, so agreement is statistical-by-construction: equal-shard
+propagation balances members exactly across the batch each step).
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mbrl_tpu.models import GaussianMLP, ModelEnv, TransitionRewardModel
+from mbrl_tpu.models.fast_rollout import _fold_normalizer, supports_fast_rollout
+
+OBS_DIM = 3
+ACT_DIM = 2
+ENSEMBLE = 4
+MEMBER_VALUES = np.array([1.0, 2.0, 3.0, 4.0], np.float32)
+
+
+def _constant_member_model(propagation_method, learned_rewards=True):
+    """Zero weights, per-member head bias => member m always predicts
+    (delta=value_m, reward=value_m) with ~exp(-10) sampling noise."""
+    out = OBS_DIM + (1 if learned_rewards else 0)
+    model = GaussianMLP(
+        in_size=OBS_DIM + ACT_DIM,
+        out_size=out,
+        num_layers=2,
+        ensemble_size=ENSEMBLE,
+        hid_size=8,
+        propagation_method=propagation_method,
+    )
+    params = model.init(jax.random.PRNGKey(0))
+    params = jax.tree_util.tree_map(jnp.zeros_like, params)
+    params["elite"] = jnp.arange(ENSEMBLE, dtype=jnp.int32)
+    bias = jnp.zeros((ENSEMBLE, 1, 2 * out))
+    bias = bias.at[:, 0, :out].set(
+        jnp.asarray(MEMBER_VALUES)[:, None] * jnp.ones((ENSEMBLE, out))
+    )
+    # raw logvar 0 -> bounded to ~min_logvar; make bounds tight so noise ~ 0
+    params["head"] = {"w": params["head"]["w"], "b": bias}
+    params["min_logvar"] = -20.0 * jnp.ones((1, out))
+    params["max_logvar"] = -19.0 * jnp.ones((1, out))
+    wrapper = TransitionRewardModel(
+        model,
+        target_is_delta=True,
+        normalize=False,
+        learned_rewards=learned_rewards,
+    )
+    return wrapper, {"params": params, "normalizer": None}
+
+
+def _no_term(act, next_obs):
+    return jnp.zeros((next_obs.shape[0], 1), bool)
+
+
+@pytest.mark.parametrize("prop", ["random_model", "fixed_model"])
+def test_fast_rollout_matches_analytic_value(prop):
+    wrapper, state = _constant_member_model(prop)
+    env = ModelEnv(wrapper, _no_term)
+    horizon, particles = 6, 8 * ENSEMBLE
+    seqs = jnp.zeros((1, horizon, ACT_DIM))
+    obs0 = jnp.zeros((OBS_DIM,))
+    values = env.evaluate_action_sequences(
+        state, seqs, obs0, jax.random.PRNGKey(1), num_particles=particles
+    )
+    # each step every member handles exactly B/E rows => batch-mean reward per
+    # step is exactly mean(MEMBER_VALUES); total = H * that
+    expected = horizon * float(MEMBER_VALUES.mean())
+    np.testing.assert_allclose(np.asarray(values), expected, rtol=1e-3)
+
+
+@pytest.mark.parametrize("prop", ["random_model", "fixed_model"])
+def test_fast_rollout_matches_generic_path(prop):
+    wrapper, state = _constant_member_model(prop)
+    env = ModelEnv(wrapper, _no_term)
+    horizon, particles = 5, 8 * ENSEMBLE
+    seqs = jnp.zeros((2, horizon, ACT_DIM))
+    obs0 = jnp.zeros((OBS_DIM,))
+    fast = env.evaluate_action_sequences(
+        state, seqs, obs0, jax.random.PRNGKey(2), num_particles=particles
+    )
+    wrapper.model.supports_fast_rollout = False
+    env2 = ModelEnv(wrapper, _no_term)
+    generic = env2.evaluate_action_sequences(
+        state, seqs, obs0, jax.random.PRNGKey(2), num_particles=particles
+    )
+    wrapper.model.supports_fast_rollout = True
+    # batch-wide balance makes the batch mean exact in both paths; per-sequence
+    # means differ only by which members served each particle
+    np.testing.assert_allclose(
+        np.asarray(fast).mean(), np.asarray(generic).mean(), rtol=1e-3
+    )
+
+
+def test_fast_rollout_termination_masking():
+    """Member m predicts delta m; terminate when obs[0] > 10.5 => rewards stop
+    accruing for terminated particles in both paths."""
+    wrapper, state = _constant_member_model("fixed_model")
+
+    def term_fn(act, next_obs):
+        return (next_obs[:, :1] > 10.5)
+
+    env = ModelEnv(wrapper, term_fn)
+    horizon, particles = 8, 16 * ENSEMBLE
+    seqs = jnp.zeros((1, horizon, ACT_DIM))
+    obs0 = jnp.zeros((OBS_DIM,))
+    value_fast = env.evaluate_action_sequences(
+        state, seqs, obs0, jax.random.PRNGKey(3), num_particles=particles
+    )
+    wrapper.model.supports_fast_rollout = False
+    env2 = ModelEnv(wrapper, term_fn)
+    value_gen = env2.evaluate_action_sequences(
+        state, seqs, obs0, jax.random.PRNGKey(3), num_particles=particles
+    )
+    wrapper.model.supports_fast_rollout = True
+    # analytic: member m's particle obs[0] after t steps = m*t; terminates when
+    # m*t > 10.5 (threshold off the sample-noise boundary); reward m accrues for
+    # steps up to and including the terminating one
+    def member_total(m):
+        tot, alive_obs = 0.0, 0.0
+        for _ in range(horizon):
+            if alive_obs > 10.5:
+                break
+            tot += m
+            alive_obs += m
+        return tot
+
+    expected = np.mean([member_total(m) for m in MEMBER_VALUES])
+    np.testing.assert_allclose(np.asarray(value_fast)[0], expected, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(value_gen)[0], expected, rtol=1e-3)
+
+
+def test_fold_normalizer_exact():
+    key = jax.random.PRNGKey(0)
+    ks = jax.random.split(key, 4)
+    E, IN, H = 3, 7, 5
+    w0 = jax.random.normal(ks[0], (E, IN, H))
+    b0 = jax.random.normal(ks[1], (E, 1, H))
+    x = jax.random.normal(ks[2], (E, 11, IN))
+    mu = jax.random.normal(ks[3], (1, IN))
+    sd = jnp.abs(jax.random.normal(jax.random.PRNGKey(9), (1, IN))) + 0.5
+
+    class Stats:
+        mean = mu
+        std = sd
+
+    class W:
+        normalize = True
+
+    state = {"normalizer": Stats()}
+    w0f, b0f = _fold_normalizer(W(), state, w0, b0)
+    direct = jnp.einsum("ebi,eio->ebo", (x - mu) / sd, w0) + b0
+    folded = jnp.einsum("ebi,eio->ebo", x, w0f) + b0f
+    np.testing.assert_allclose(np.asarray(direct), np.asarray(folded), atol=1e-4)
+
+
+def test_fast_rollout_gate():
+    wrapper, state = _constant_member_model("random_model")
+    assert supports_fast_rollout(wrapper, state, batch=8 * ENSEMBLE)
+    assert not supports_fast_rollout(wrapper, state, batch=8 * ENSEMBLE + 1)
+    wrapper.model.propagation_method = "expectation"
+    assert not supports_fast_rollout(wrapper, state, batch=8 * ENSEMBLE)
+
+
+def test_fast_rollout_analytic_reward_fn_and_no_delta():
+    """Analytic reward_fn (obs sum) + no_delta_list exemption both honored."""
+    wrapper, state = _constant_member_model("random_model", learned_rewards=False)
+    wrapper.no_delta_list = (0,)
+
+    def reward_fn(act, next_obs):
+        return next_obs[:, :1]
+
+    env = ModelEnv(wrapper, _no_term, reward_fn=reward_fn)
+    horizon, particles = 4, 8 * ENSEMBLE
+    seqs = jnp.zeros((1, horizon, ACT_DIM))
+    obs0 = jnp.zeros((OBS_DIM,))
+    value = env.evaluate_action_sequences(
+        state, seqs, obs0, jax.random.PRNGKey(4), num_particles=particles
+    )
+    # dim 0 is no-delta: obs[0] = member value every step (not accumulated); the
+    # balanced batch mean per step is mean(values); total = H * mean
+    expected = horizon * float(MEMBER_VALUES.mean())
+    np.testing.assert_allclose(np.asarray(value), expected, rtol=1e-3)

@@ -187,3 +187,67 @@ def test_trajectory_optimizer_agent_caching():
 
     with pytest.raises(RuntimeError):
         TrajectoryOptimizerAgent(cem, [-1.0], [1.0]).act(obs)
+
+
+def test_optimizer_callbacks_invoked_per_iteration():
+    """Parity: reference trajectory_opt.py:146-175 — optimize(callback=) is called
+    once per iteration with (population, values, iteration_index)."""
+    calls = []
+
+    def cb(population, values, it):
+        calls.append((np.asarray(population).shape, np.asarray(values).shape, int(it)))
+
+    lb = [[-1.0]] * 3
+    ub = [[1.0]] * 3
+    center = 0.3 * jnp.ones((3, 1))
+
+    opt = CEMOptimizer(4, 0.2, 50, lb, ub, alpha=0.1)
+    sol, _ = opt.optimize(
+        quadratic_obj, jnp.zeros((3, 1)), jax.random.PRNGKey(0),
+        obj_args=(center,), callback=cb,
+    )
+    jax.effects_barrier()
+    assert [c[2] for c in calls] == [0, 1, 2, 3]
+    assert all(c[0] == (50, 3, 1) and c[1] == (50,) for c in calls)
+
+    calls.clear()
+    mppi = MPPIOptimizer(3, 40, gamma=1.0, sigma=0.5, beta=0.7,
+                         lower_bound=lb, upper_bound=ub)
+    mppi.optimize(quadratic_obj, jnp.zeros((3, 1)), jax.random.PRNGKey(0),
+                  obj_args=(center,), callback=cb)
+    jax.effects_barrier()
+    assert [c[2] for c in calls] == [0, 1, 2]
+
+    calls.clear()
+    icem = ICEMOptimizer(
+        num_iterations=3, elite_ratio=0.1, population_size=60,
+        population_decay_factor=1.3, colored_noise_exponent=2.0,
+        lower_bound=lb, upper_bound=ub, keep_elite_frac=0.3, alpha=0.1,
+    )
+    icem.optimize(quadratic_obj, jnp.zeros((3, 1)), jax.random.PRNGKey(0),
+                  obj_args=(center,), callback=cb)
+    jax.effects_barrier()
+    assert [c[2] for c in calls] == [0, 1, 2]
+    # iCEM population sizes decay per iteration (plus kept elites / appended mean)
+    assert calls[0][0][0] >= calls[1][0][0]
+
+
+def test_agent_act_optimizer_callback():
+    """TrajectoryOptimizerAgent.act/plan forward optimizer_callback (reference
+    trajectory_opt.py:656-685)."""
+    lb = [-1.0]
+    ub = [1.0]
+    agent = TrajectoryOptimizerAgent(
+        CEMOptimizer(3, 0.2, 30, [[-1.0]] * 4, [[1.0]] * 4, alpha=0.1),
+        action_lb=lb, action_ub=ub, planning_horizon=4, replan_freq=1,
+    )
+    center = 0.5 * jnp.ones((4, 1))
+
+    def eval_fn(population, _state, _obs, _key):
+        return quadratic_obj(population, center)
+
+    agent.set_trajectory_eval_fn(eval_fn)
+    seen = []
+    agent.act(np.zeros(3), optimizer_callback=lambda p, v, i: seen.append(int(i)))
+    jax.effects_barrier()
+    assert seen == [0, 1, 2]

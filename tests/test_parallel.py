@@ -85,6 +85,9 @@ def test_sharded_particle_planning_matches_replicated(mesh):
     def term_fn(a, o):
         return jnp.zeros((o.shape[0], 1), bool)
 
+    # pin both envs to the generic scan: the unsharded env would otherwise take
+    # the shard-space fast path, which consumes PRNG streams in a different order
+    wrapper.model.supports_fast_rollout = False
     env_plain = ModelEnv(wrapper, term_fn)
     sharding = NamedSharding(mesh, P(pmesh.DATA_AXIS))
     env_sharded = ModelEnv(wrapper, term_fn, particle_sharding=sharding)
