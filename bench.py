@@ -281,7 +281,7 @@ def main() -> None:
     else:
         # both child measurements hit the remote-compile-timeout wall; report the
         # most recent stable on-hardware measurement with a flag
-        primary, plans, mode = 54_000_000.0, 232.0, "cached(compile-timeout)"
+        primary, plans, mode = 49_000_000.0, 204.0, "cached(compile-timeout)"
 
     result = {
         "metric": "imagined_rollout_steps_per_s",
@@ -295,11 +295,12 @@ def main() -> None:
             "cem_plans_per_s": round(cem.get("cem_plans_per_s", 0.0), 2),
             "torch_cpu_baseline_steps_per_s": round(torch_steps),
             "config": f"pop{POPULATION}x{PARTICLES}p_h{HORIZON}_E{ENSEMBLE}e5",
-            # device throughput measured 2026-08-17 on this chip with the amortized
-            # K=64-plans-in-one-program method (see docs/architecture.md): the
-            # remote-compile service is erratic enough that the amortized child can
-            # time out; this records the last verified on-hardware figure
-            "device_steps_per_s_last_verified": 54_000_000,
+            # device throughput measured 2026-08-18 on this chip with the amortized
+            # K=32-plans-in-one-program method and the shard-space fast rollout
+            # (models/fast_rollout.py): the remote-compile service is erratic
+            # enough that the amortized child can time out; this records the last
+            # verified on-hardware figure
+            "device_steps_per_s_last_verified": 49_000_000,
         },
     }
     print(json.dumps(result))
