@@ -103,8 +103,14 @@ def evaluate_action_sequences_sharded(
     q0 = jax.random.permutation(k_q0, batch).astype(jnp.int32)
     seq0 = (q0 // num_particles).astype(jnp.float32)  # exact small ints in f32
 
+    rotate = getattr(model, "rollout_shuffle", "sort") == "rotate"
     if fixed:
         qs = None  # persistent assignment: the carry never re-shuffles
+    elif rotate:
+        # random whole-batch rotations: uniform, exactly balanced member
+        # marginals each step with no per-step sort or gather (a roll is two
+        # contiguous slices); see GaussianMLP.rollout_shuffle
+        qs = jax.random.randint(k_qs, (horizon,), 0, batch, jnp.int32).at[0].set(0)
     else:
         # fresh composition permutations, one per step after the first
         # (batched sorts, outside the scan)
@@ -140,7 +146,9 @@ def evaluate_action_sequences_sharded(
 
     def step_fn(packed, xs):
         act_table_t, k_t, q_t = xs
-        if q_t is not None:
+        if q_t is not None and rotate:
+            packed = jnp.roll(packed, q_t, axis=0)  # re-shuffle = one cheap roll
+        elif q_t is not None:
             packed = jnp.take(packed, q_t, axis=0)  # gather #1: re-shuffle carry
         obs = packed[:, :obs_dim]
         total = packed[:, obs_dim]

@@ -69,7 +69,12 @@ class GaussianMLP:
         compute_dtype=jnp.float32,
         use_pallas: bool = False,
         pallas_tile: int = 512,
+        rollout_shuffle: str = "sort",
     ):
+        if rollout_shuffle not in ("sort", "rotate"):
+            raise ValueError(
+                f"rollout_shuffle must be 'sort' or 'rotate', got {rollout_shuffle!r}"
+            )
         if activation not in _ACTIVATIONS:
             raise ValueError(
                 f"Unknown activation {activation!r}; options: {sorted(_ACTIVATIONS)}"
@@ -88,6 +93,14 @@ class GaussianMLP:
         # applies to the equal-shard propagation path when shapes tile.
         self.use_pallas = use_pallas
         self.pallas_tile = pallas_tile
+        # TS1 re-shuffle flavor in the fast rollout (models/fast_rollout.py):
+        # "sort" = exact fresh uniform permutation per step (a device sort,
+        # ~65us per 8k-row step); "rotate" = random whole-batch rotation per
+        # step — member marginals stay uniform and exactly balanced, and
+        # assignments are independent across steps, but particle PAIRS at small
+        # initial offsets co-locate more often than under iid permutations.
+        # Unbiased value estimates, slightly higher variance, ~2x faster planning.
+        self.rollout_shuffle = rollout_shuffle
         # params excluded from gradient updates (reference: min/max_logvar are
         # nn.Parameters with requires_grad=learn_logvar_bounds, gaussian_mlp.py:118-124)
         self.frozen_param_keys = (

@@ -21,7 +21,7 @@ ENSEMBLE = 4
 MEMBER_VALUES = np.array([1.0, 2.0, 3.0, 4.0], np.float32)
 
 
-def _constant_member_model(propagation_method, learned_rewards=True):
+def _constant_member_model(propagation_method, learned_rewards=True, shuffle="sort"):
     """Zero weights, per-member head bias => member m always predicts
     (delta=value_m, reward=value_m) with ~exp(-10) sampling noise."""
     out = OBS_DIM + (1 if learned_rewards else 0)
@@ -32,6 +32,7 @@ def _constant_member_model(propagation_method, learned_rewards=True):
         ensemble_size=ENSEMBLE,
         hid_size=8,
         propagation_method=propagation_method,
+        rollout_shuffle=shuffle,
     )
     params = model.init(jax.random.PRNGKey(0))
     params = jax.tree_util.tree_map(jnp.zeros_like, params)
@@ -57,9 +58,14 @@ def _no_term(act, next_obs):
     return jnp.zeros((next_obs.shape[0], 1), bool)
 
 
-@pytest.mark.parametrize("prop", ["random_model", "fixed_model"])
-def test_fast_rollout_matches_analytic_value(prop):
-    wrapper, state = _constant_member_model(prop)
+@pytest.mark.parametrize(
+    "prop,shuffle",
+    [("random_model", "sort"), ("random_model", "rotate"), ("fixed_model", "sort")],
+)
+def test_fast_rollout_matches_analytic_value(prop, shuffle):
+    # rotate keeps each step's member loads exactly balanced, so the
+    # batch-mean analytic value is exact for it too
+    wrapper, state = _constant_member_model(prop, shuffle=shuffle)
     env = ModelEnv(wrapper, _no_term)
     horizon, particles = 6, 8 * ENSEMBLE
     seqs = jnp.zeros((1, horizon, ACT_DIM))
