@@ -132,6 +132,15 @@ def evaluate_action_sequences_sharded(
         )
     head_w, head_b = p["head"]["w"], p["head"]["b"]
     activation = model.activation
+    # bf16 opt-in (GaussianMLP(compute_dtype="bfloat16")): cast the weight stack
+    # ONCE outside the scan and keep the layer chain's einsum operands in bf16
+    # (full-rate MXU) with f32 accumulation; the carry, Gaussian head math, and
+    # reward/termination bookkeeping stay f32
+    cdt = getattr(model, "compute_dtype", jnp.float32)
+    low_precision = jnp.dtype(cdt) != jnp.float32
+    if low_precision:
+        layer_ws = [w.astype(cdt) for w in layer_ws]
+        head_w = head_w.astype(cdt)
 
     learned_rewards = wrapper.learned_rewards
     target_is_delta = wrapper.target_is_delta
@@ -159,11 +168,15 @@ def evaluate_action_sequences_sharded(
         x_obs = obs_process_fn(obs) if obs_process_fn is not None else obs
         x = jnp.concatenate([x_obs, act_t], axis=-1)
         h = x.reshape(num_used, shard, x.shape[-1])
+        if low_precision:
+            h = h.astype(cdt)
         for w, b in zip(layer_ws, layer_bs):
             h = activation(
                 jnp.einsum("ebi,eio->ebo", h, w, preferred_element_type=jnp.float32)
                 + b
             )
+            if low_precision:
+                h = h.astype(cdt)
         out = (
             jnp.einsum(
                 "ebi,eio->ebo", h, head_w, preferred_element_type=jnp.float32

@@ -75,6 +75,8 @@ class GaussianMLP:
             raise ValueError(
                 f"rollout_shuffle must be 'sort' or 'rotate', got {rollout_shuffle!r}"
             )
+        if isinstance(compute_dtype, str):
+            compute_dtype = jnp.dtype(compute_dtype).type
         if activation not in _ACTIVATIONS:
             raise ValueError(
                 f"Unknown activation {activation!r}; options: {sorted(_ACTIVATIONS)}"
@@ -198,16 +200,26 @@ class GaussianMLP:
         """
         p = self._elite_view(params) if use_only_elite else params
         num_used = p["head"]["w"].shape[0]
-        h = x.astype(self.compute_dtype)
+        cdt = self.compute_dtype
+        h = x.astype(cdt)
         if h.ndim == 2:
             h = jnp.broadcast_to(h, (num_used,) + h.shape)
         for layer in p["layers"]:
+            # both einsum operands in compute_dtype (bf16 runs the MXU at full
+            # rate; a mixed f32/bf16 contraction silently promotes to f32),
+            # accumulation always f32
             h = jnp.einsum(
-                "ebi,eio->ebo", h, layer["w"], preferred_element_type=jnp.float32
+                "ebi,eio->ebo",
+                h,
+                layer["w"].astype(cdt),
+                preferred_element_type=jnp.float32,
             )
-            h = self.activation(h + layer["b"])
+            h = self.activation(h + layer["b"]).astype(cdt)
         out = jnp.einsum(
-            "ebi,eio->ebo", h, p["head"]["w"], preferred_element_type=jnp.float32
+            "ebi,eio->ebo",
+            h,
+            p["head"]["w"].astype(cdt),
+            preferred_element_type=jnp.float32,
         )
         out = out + p["head"]["b"]
         if self.deterministic:

@@ -191,3 +191,39 @@ def test_fast_rollout_analytic_reward_fn_and_no_delta():
     # balanced batch mean per step is mean(values); total = H * mean
     expected = horizon * float(MEMBER_VALUES.mean())
     np.testing.assert_allclose(np.asarray(value), expected, rtol=1e-3)
+
+
+def test_fast_rollout_bfloat16_compute():
+    """compute_dtype="bfloat16" runs the layer chain in bf16 (f32 accumulation)
+    and still matches the analytic balanced-member value within bf16 tolerance."""
+    wrapper, state = _constant_member_model("random_model")
+    wrapper.model.compute_dtype = jnp.bfloat16
+    env = ModelEnv(wrapper, _no_term)
+    horizon, particles = 6, 8 * ENSEMBLE
+    seqs = jnp.zeros((1, horizon, ACT_DIM))
+    obs0 = jnp.zeros((OBS_DIM,))
+    values = env.evaluate_action_sequences(
+        state, seqs, obs0, jax.random.PRNGKey(7), num_particles=particles
+    )
+    assert values.dtype == jnp.float32  # returns stay full precision
+    expected = horizon * float(MEMBER_VALUES.mean())
+    np.testing.assert_allclose(np.asarray(values), expected, rtol=2e-2)
+
+
+def test_forward_bfloat16_close_to_f32():
+    """All-member forward with bf16 compute stays within bf16 rounding of f32."""
+    model32 = GaussianMLP(
+        in_size=5, out_size=3, num_layers=2, ensemble_size=3, hid_size=16,
+        activation="silu",
+    )
+    params = model32.init(jax.random.PRNGKey(0))
+    x = jax.random.normal(jax.random.PRNGKey(1), (3, 32, 5))
+    m32, lv32 = model32.forward(params, x)
+    model16 = GaussianMLP(
+        in_size=5, out_size=3, num_layers=2, ensemble_size=3, hid_size=16,
+        activation="silu", compute_dtype="bfloat16",
+    )
+    m16, lv16 = model16.forward(params, x)
+    assert m16.dtype == jnp.float32
+    np.testing.assert_allclose(np.asarray(m16), np.asarray(m32), atol=5e-2)
+    np.testing.assert_allclose(np.asarray(lv16), np.asarray(lv32), atol=5e-2)
