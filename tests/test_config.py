@@ -92,3 +92,22 @@ def test_all_override_files_compose(override_file):
         assert cfg.overrides.sac_batch_size > 0
     if algo == "planet":
         assert cfg.overrides.sequence_length > 0
+
+
+def test_fast_dynamics_model_variant_builds():
+    """gaussian_mlp_ensemble_fast selects the TPU perf knobs (rotate TS1 shuffle,
+    bf16 compute) and builds through the canonical factory."""
+    import jax.numpy as jnp
+
+    from mbrl_tpu.config.factories import create_one_dim_tr_model
+
+    cfg = load_config(
+        _CONF_DIR, "main", overrides=["dynamics_model=gaussian_mlp_ensemble_fast"]
+    )
+    wrapper = create_one_dim_tr_model(cfg, obs_shape=(10,), act_shape=(4,))
+    model = wrapper.model
+    assert model.rollout_shuffle == "rotate"
+    assert jnp.dtype(model.compute_dtype) == jnp.bfloat16
+    assert model.ensemble_size == 7
+    state = wrapper.init(__import__("jax").random.PRNGKey(0))
+    assert "params" in state and "normalizer" in state
