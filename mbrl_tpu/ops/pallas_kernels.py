@@ -110,3 +110,139 @@ def fused_ensemble_mlp(
 
 def supports_fused_mlp(rows_per_member: int, tile: int = 512) -> bool:
     return rows_per_member % tile == 0
+
+
+def pick_tile(rows_per_member: int, max_tile: int = 1024) -> int | None:
+    """Largest divisor of ``rows_per_member`` that is a multiple of 8 and
+    <= ``max_tile`` (TPU sublane alignment); None if none exists."""
+    best = None
+    for t in range(8, min(rows_per_member, max_tile) + 1, 8):
+        if rows_per_member % t == 0:
+            best = t
+    return best
+
+
+def _gaussian_kernel(
+    num_layers: int, out_size: int, activation, sample: bool, *refs
+):
+    """refs: seed, x, (w_i, b_i)*L, w_head, b_head, max_logvar, min_logvar, out.
+
+    Fuses the ensemble-member MLP chain, the Gaussian head's soft logvar
+    double-bounding (reference mbrl/models/gaussian_mlp.py:150-154), and — when
+    ``sample`` — a Box-Muller draw from the per-core hardware PRNG, all in VMEM.
+    The rollout hot loop's HBM traffic drops to (x in, sample out, weights); no
+    inter-layer activations or threefry noise tensors ever touch HBM.
+    """
+    seed_ref = refs[0]
+    x_ref = refs[1]
+    out_ref = refs[-1]
+    min_lv_ref = refs[-2]
+    max_lv_ref = refs[-3]
+    layer_refs = refs[2:-3]
+    if sample:
+        # distinct stream per (member, tile) program
+        pltpu.prng_seed(
+            seed_ref[0],
+            pl.program_id(0) * 16384 + pl.program_id(1),
+        )
+    h = x_ref[0]  # (TILE, in)
+    for i in range(num_layers):
+        w = layer_refs[2 * i][0]
+        b = layer_refs[2 * i + 1][0]
+        h = jnp.dot(h, w, preferred_element_type=jnp.float32) + b
+        h = activation(h)
+        if w.dtype != jnp.float32:
+            h = h.astype(w.dtype)
+    w_head = layer_refs[2 * num_layers][0]
+    b_head = layer_refs[2 * num_layers + 1][0]
+    out = jnp.dot(h, w_head, preferred_element_type=jnp.float32) + b_head
+    mean = out[:, :out_size]
+    logvar = out[:, out_size:]
+    max_lv = max_lv_ref[:]  # (1, out)
+    min_lv = min_lv_ref[:]
+    logvar = max_lv - jax.nn.softplus(max_lv - logvar)
+    logvar = min_lv + jax.nn.softplus(logvar - min_lv)
+    if not sample:
+        out_ref[0] = mean
+        return
+    shape = mean.shape
+    bits1 = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+    bits2 = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+    # 24-bit uniforms: u1 in (0,1] (log-safe), u2 in [0,1)
+    u1 = ((bits1 >> 8).astype(jnp.float32) + 1.0) * (2.0 ** -24)
+    u2 = (bits2 >> 8).astype(jnp.float32) * (2.0 ** -24)
+    z = jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos((2.0 * np.pi) * u2)
+    out_ref[0] = mean + jnp.exp(0.5 * logvar) * z
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("out_size", "activation", "tile", "sample", "interpret"),
+)
+def fused_ensemble_mlp_gaussian(
+    seed: jax.Array,  # (1,) int32
+    x: jax.Array,  # (E, S, in)
+    layer_ws: Tuple[jax.Array, ...],
+    layer_bs: Tuple[jax.Array, ...],
+    head_w: jax.Array,  # (E, hid, 2*out)
+    head_b: jax.Array,  # (E, 1, 2*out)
+    max_logvar: jax.Array,  # (1, out)
+    min_logvar: jax.Array,  # (1, out)
+    out_size: int,
+    activation=jax.nn.silu,
+    tile: int = 512,
+    sample: bool = True,
+    interpret: bool = False,
+) -> jax.Array:
+    """Fused ensemble MLP + bounded-Gaussian-head sample, (E, S, out_size).
+
+    ``sample=False`` returns the bounded mean (usable in interpret mode, where
+    the TPU hardware PRNG is unavailable).
+    """
+    num_members, rows, in_dim = x.shape
+    num_layers = len(layer_ws)
+    assert rows % tile == 0, (rows, tile)
+    grid = (num_members, rows // tile)
+
+    in_specs = [
+        pl.BlockSpec(memory_space=getattr(pltpu, "SMEM", None))
+        if pltpu is not None
+        else pl.BlockSpec((1,), lambda e, t: (0,)),
+        pl.BlockSpec((1, tile, in_dim), lambda e, t: (e, t, 0), memory_space=_VMEM),
+    ]
+    operands: List[jax.Array] = [seed, x]
+    for w, b in zip(layer_ws, layer_bs):
+        in_specs.append(
+            pl.BlockSpec((1,) + w.shape[1:], lambda e, t: (e, 0, 0), memory_space=_VMEM)
+        )
+        in_specs.append(
+            pl.BlockSpec((1,) + b.shape[1:], lambda e, t: (e, 0, 0), memory_space=_VMEM)
+        )
+        operands += [w, b]
+    in_specs.append(
+        pl.BlockSpec((1,) + head_w.shape[1:], lambda e, t: (e, 0, 0), memory_space=_VMEM)
+    )
+    in_specs.append(
+        pl.BlockSpec((1,) + head_b.shape[1:], lambda e, t: (e, 0, 0), memory_space=_VMEM)
+    )
+    operands += [head_w, head_b]
+    for lv in (max_logvar, min_logvar):
+        in_specs.append(
+            pl.BlockSpec(lv.shape, lambda e, t: (0, 0), memory_space=_VMEM)
+        )
+        operands.append(lv)
+
+    out_spec = pl.BlockSpec(
+        (1, tile, out_size), lambda e, t: (e, t, 0), memory_space=_VMEM
+    )
+    kernel = functools.partial(
+        _gaussian_kernel, num_layers, out_size, activation, sample
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((num_members, rows, out_size), jnp.float32),
+        interpret=interpret,
+    )(*operands)
