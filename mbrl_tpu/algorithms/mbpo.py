@@ -34,7 +34,7 @@ from mbrl_tpu.planning import RandomAgent
 from mbrl_tpu.planning.sac import SAC, SACAgent
 from mbrl_tpu.util import checkpoint as ckpt
 from mbrl_tpu.util import common as util_common
-from mbrl_tpu.util.device_buffer import DeviceReplayBuffer
+from mbrl_tpu.util.device_buffer import DeviceReplayBuffer, DeviceTransitionDataset
 from mbrl_tpu.util.logger import Logger
 
 MBPO_LOG_FORMAT = mbrl_tpu.constants.EVAL_LOG_FORMAT + [
@@ -257,12 +257,31 @@ def train(
     sac_batch_size = cfg.overrides.sac_batch_size
     num_sac_updates = cfg.overrides.num_sac_updates_per_step
     checkpoint_every = cfg.get("checkpoint_every", 0)
+    # Fully on-device model training (ModelTrainer.train_device): ONE dispatch
+    # per retraining against an incrementally-synced device dataset, instead of
+    # re-uploading the whole buffer every epoch. Default on; the host-iterator
+    # path remains for debugging/parity checks.
+    device_training = cfg.algorithm.get("device_model_training", True)
+    device_dataset = (
+        DeviceTransitionDataset(obs_dim, act_dim) if device_training else None
+    )
+    # Host-tracked LOWER BOUND on the device SAC buffer's row count (the exact
+    # count lives on device; fetching it would sync every step). The first step
+    # of every imagined rollout writes all `rollout_batch_size` rows (all
+    # particles start alive), so this bound certifies `enough_data` without a
+    # device round trip.
+    sac_buf_known_min = 0
+    # device-resident PRNG key for the fused sample+update program (carried and
+    # returned on device, so the update path is pure enqueue)
+    key, k_upd_init = jax.random.split(key)
+    upd_key = k_upd_init
 
     if resume_snap is not None:
         model_state = resume_snap["model_state"]
         sac_state = resume_snap["sac_state"]
         agent.set_state(sac_state)
         key = resume_snap["key"]
+        upd_key = resume_snap.get("upd_key", upd_key)
         env_steps = int(resume_snap["env_steps"])
         epoch = int(resume_snap["epoch"])
         updates_made = int(resume_snap["updates_made"])
@@ -281,6 +300,7 @@ def train(
             sac_buffer, sac_buf_state = maybe_replace_sac_buffer(
                 sac_buffer, sac_buf_state, obs_dim, act_dim, sac_buffer_capacity
             )
+            sac_buf_known_min = min(sac_buf_known_min, sac_buffer.capacity)
             rollout_prog = _ImaginedRolloutProgram(
                 model_env, sac, sac_buffer, cfg.algorithm.sac_samples_action
             )
@@ -299,15 +319,35 @@ def train(
 
             # --------------- model training + imagined rollouts ---------------
             if (env_steps + 1) % cfg.overrides.freq_train_model == 0:
-                model_state = util_common.train_model_and_save_model_and_data(
-                    dynamics_model, model_state, model_trainer,
-                    cfg.overrides, replay_buffer, work_dir=work_dir,
-                )
+                if device_training:
+                    model_state = dynamics_model.update_normalizer_host(
+                        model_state, replay_buffer.get_all()
+                    )
+                    device_dataset.sync_from(replay_buffer)
+                    model_state, _, _ = model_trainer.train_device(
+                        model_state,
+                        device_dataset,
+                        batch_size=cfg.overrides.model_batch_size,
+                        val_ratio=cfg.overrides.validation_ratio,
+                        num_epochs=cfg.overrides.get("num_epochs_train_model", None),
+                        patience=cfg.overrides.get("patience", 1),
+                        improvement_threshold=cfg.overrides.get(
+                            "improvement_threshold", 0.01
+                        ),
+                    )
+                else:
+                    model_state = util_common.train_model_and_save_model_and_data(
+                        dynamics_model, model_state, model_trainer,
+                        cfg.overrides, replay_buffer, work_dir=work_dir,
+                    )
                 initial_obs = replay_buffer.sample(rollout_batch_size).obs
                 key, k_roll = jax.random.split(key)
                 sac_buf_state = rollout_prog.run(
                     model_state, sac_state.policy, sac_buf_state,
                     initial_obs, k_roll, rollout_length,
+                )
+                sac_buf_known_min = min(
+                    sac_buffer.capacity, sac_buf_known_min + rollout_batch_size
                 )
                 if real_ratio > 0:
                     all_real = replay_buffer.get_all()
@@ -325,6 +365,7 @@ def train(
                             "model_state": model_state,
                             "sac_state": sac_state,
                             "key": key,
+                            "upd_key": upd_key,
                             "env_steps": env_steps,
                             "epoch": epoch,
                             "updates_made": updates_made,
@@ -332,25 +373,30 @@ def train(
                         },
                         step=env_steps,
                     )
+                    if device_training:
+                        # the host path saves per retraining inside
+                        # train_model_and_save_model_and_data; here model +
+                        # buffer snapshots ride the checkpoint cadence instead
+                        dynamics_model.save(model_state, str(work_dir))
+                        replay_buffer.save(work_dir)
                 if debug_mode:
                     print(
                         f"Epoch: {epoch}. SAC buffer: {int(sac_buf_state.num_stored)}. "
                         f"Rollout length: {rollout_length}. Steps: {env_steps}"
                     )
 
-            # --------------- SAC updates (one scanned program) ---------------
-            enough_data = int(sac_buf_state.num_stored) >= sac_batch_size
+            # --------------- SAC updates (one enqueued program) ---------------
+            enough_data = sac_buf_known_min >= sac_batch_size
             if (
                 num_sac_updates > 0
                 and (env_steps + 1) % cfg.overrides.sac_updates_every_steps == 0
                 and enough_data
             ):
-                key, k_batches = jax.random.split(key)
-                batches = sac_buffer.sample_many(
-                    sac_buf_state, k_batches, num_sac_updates, sac_batch_size
-                )
                 if real_ratio > 0 and real_snapshot is not None:
-                    key, k_real, k_mix = jax.random.split(key, 3)
+                    key, k_batches, k_real, k_mix = jax.random.split(key, 4)
+                    batches = sac_buffer.sample_many(
+                        sac_buf_state, k_batches, num_sac_updates, sac_batch_size
+                    )
                     n_real = real_snapshot[0].shape[0]
                     ridx = jax.random.randint(
                         k_real, (num_sac_updates, sac_batch_size), 0, n_real
@@ -363,8 +409,15 @@ def train(
                     batches = tuple(
                         jnp.where(sel, rb, ib) for rb, ib in zip(real_batches, batches)
                     )
-                key, k_upd = jax.random.split(key)
-                sac_state, metrics = sac.update_many(sac_state, batches, k_upd)
+                    key, k_upd = jax.random.split(key)
+                    sac_state, metrics = sac.update_many(sac_state, batches, k_upd)
+                else:
+                    # fused sample+update: ONE device call, no host round trips
+                    # (the PRNG key is carried on device)
+                    sac_state, upd_key, _ = sac.update_from_buffer(
+                        sac_state, sac_buf_state, upd_key,
+                        num_updates=num_sac_updates, batch_size=sac_batch_size,
+                    )
                 agent.set_state(sac_state)
                 updates_made += num_sac_updates
                 if logger is not None and updates_made % cfg.log_frequency_agent < num_sac_updates:

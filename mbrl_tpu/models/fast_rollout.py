@@ -47,6 +47,12 @@ import jax
 import jax.numpy as jnp
 
 
+def _kernel_platform_ok() -> bool:
+    """Pallas hardware-PRNG sampling needs a real TPU backend (tests monkeypatch
+    this to exercise the kernel wiring on CPU with an emulated kernel)."""
+    return jax.devices()[0].platform == "tpu"
+
+
 def supports_fast_rollout(wrapper, state: Dict[str, Any], batch: int) -> bool:
     """Static gate: wrapper wraps a GaussianMLP-style ensemble whose equal-shard
     propagation applies to this batch size."""
@@ -97,7 +103,7 @@ def evaluate_action_sequences_sharded(
     stochastic = not model.deterministic
     fixed = model.propagation_method == "fixed_model"
 
-    key, k_q0, k_qs, k_noise = jax.random.split(key, 4)
+    key, k_q0, k_qs, k_noise, k_seed = jax.random.split(key, 5)
 
     # initial slot -> particle assignment (one sort); only its sequence ids matter
     q0 = jax.random.permutation(k_q0, batch).astype(jnp.int32)
@@ -153,20 +159,20 @@ def evaluate_action_sequences_sharded(
     # threefry noise tensors in HBM (measured: sampling alone costs ~45% of the
     # einsum step). Per-step seeds replace the per-step PRNG keys.
     kernel_tile = None
-    if (
-        getattr(model, "use_pallas", False)
-        and stochastic
-        and jax.devices()[0].platform == "tpu"
-    ):
+    if getattr(model, "use_pallas", False) and stochastic and _kernel_platform_ok():
         from mbrl_tpu.ops.pallas_kernels import pick_tile
 
         kernel_tile = pick_tile(shard)
     use_kernel = kernel_tile is not None
     if use_kernel:
-        from mbrl_tpu.ops.pallas_kernels import fused_ensemble_mlp_gaussian
+        import mbrl_tpu.ops.pallas_kernels as _pk
 
-        step_seeds = jax.random.randint(
-            k_noise, (horizon, 1), 0, jnp.iinfo(jnp.int32).max, dtype=jnp.int32
+        fused_ensemble_mlp_gaussian = _pk.fused_ensemble_mlp_gaussian
+
+        # two full 32-bit seed words per step (the kernel adds the program ids as
+        # separate words) — the stream space is 2^64 per program, not 2^31
+        step_seeds = jax.lax.bitcast_convert_type(
+            jax.random.bits(k_seed, (horizon, 2), dtype=jnp.uint32), jnp.int32
         )
 
     obs0 = jnp.broadcast_to(initial_obs.astype(jnp.float32), (batch, obs_dim))
@@ -189,34 +195,57 @@ def evaluate_action_sequences_sharded(
 
         x_obs = obs_process_fn(obs) if obs_process_fn is not None else obs
         x = jnp.concatenate([x_obs, act_t], axis=-1)
-        h = x.reshape(num_used, shard, x.shape[-1])
-        if low_precision:
-            h = h.astype(cdt)
-        for w, b in zip(layer_ws, layer_bs):
-            h = activation(
-                jnp.einsum("ebi,eio->ebo", h, w, preferred_element_type=jnp.float32)
-                + b
-            )
+        if use_kernel:
+            # whole member shard through ONE Pallas program: MLP chain + logvar
+            # soft bounds + Box-Muller draw from the per-core hardware PRNG, no
+            # inter-layer activations or threefry noise tensors in HBM
+            x3 = x.reshape(num_used, shard, x.shape[-1])
+            if low_precision:
+                x3 = x3.astype(cdt)
+            pred = fused_ensemble_mlp_gaussian(
+                k_t,
+                x3,
+                tuple(layer_ws),
+                tuple(layer_bs),
+                head_w,
+                head_b,
+                p["max_logvar"],
+                p["min_logvar"],
+                out_size,
+                activation=activation,
+                tile=kernel_tile,
+            ).reshape(batch, out_size)
+        else:
+            h = x.reshape(num_used, shard, x.shape[-1])
             if low_precision:
                 h = h.astype(cdt)
-        out = (
-            jnp.einsum(
-                "ebi,eio->ebo", h, head_w, preferred_element_type=jnp.float32
+            for w, b in zip(layer_ws, layer_bs):
+                h = activation(
+                    jnp.einsum(
+                        "ebi,eio->ebo", h, w, preferred_element_type=jnp.float32
+                    )
+                    + b
+                )
+                if low_precision:
+                    h = h.astype(cdt)
+            out = (
+                jnp.einsum(
+                    "ebi,eio->ebo", h, head_w, preferred_element_type=jnp.float32
+                )
+                + head_b
             )
-            + head_b
-        )
-        if stochastic:
-            mean = out[..., :out_size]
-            logvar = out[..., out_size:]
-            logvar = p["max_logvar"] - jax.nn.softplus(p["max_logvar"] - logvar)
-            logvar = p["min_logvar"] + jax.nn.softplus(logvar - p["min_logvar"])
-            noise_t = jax.random.normal(
-                k_t, (num_used, shard, out_size), jnp.float32
-            )
-            pred = mean + jnp.exp(0.5 * logvar) * noise_t
-        else:
-            pred = out
-        pred = pred.reshape(batch, out_size)
+            if stochastic:
+                mean = out[..., :out_size]
+                logvar = out[..., out_size:]
+                logvar = p["max_logvar"] - jax.nn.softplus(p["max_logvar"] - logvar)
+                logvar = p["min_logvar"] + jax.nn.softplus(logvar - p["min_logvar"])
+                noise_t = jax.random.normal(
+                    k_t, (num_used, shard, out_size), jnp.float32
+                )
+                pred = mean + jnp.exp(0.5 * logvar) * noise_t
+            else:
+                pred = out
+            pred = pred.reshape(batch, out_size)
 
         next_obs = pred[:, :-1] if learned_rewards else pred
         if target_is_delta:
@@ -238,15 +267,16 @@ def evaluate_action_sequences_sharded(
         )
         return packed, None
 
+    noise_xs = step_seeds if use_kernel else noise_keys
     if fixed:
         packed, _ = jax.lax.scan(
             lambda c, xs: step_fn(c, (*xs, None)),
             packed0,
-            (acts_by_time, noise_keys),
+            (acts_by_time, noise_xs),
         )
     else:
         packed, _ = jax.lax.scan(
-            step_fn, packed0, (acts_by_time, noise_keys, qs)
+            step_fn, packed0, (acts_by_time, noise_xs, qs)
         )
 
     # per-sequence mean over particles: ONE segment-sum readout

@@ -334,6 +334,245 @@ class ModelTrainer:
         batch = self._stack_eval(dataset)
         return np.asarray(self._jit_eval(state["params"], state["normalizer"], batch))
 
+    # ------------------------------------------------------------------ #
+    # Fully on-device training (ONE dispatch per model retraining)
+    # ------------------------------------------------------------------ #
+    # The host path above re-stacks and re-uploads the whole dataset every epoch
+    # and round-trips validation scores for the early-stopping decision. Over a
+    # remote-device link those transfers dominate. This path keeps the dataset
+    # device-resident (util.device_buffer.DeviceTransitionDataset) and moves the
+    # WHOLE training loop — shuffled train/val split, per-member bootstrap
+    # sampling, epoch scans, per-member early stopping with patience, best-weights
+    # tracking, elite selection — into one jitted lax.while_loop. Program shapes
+    # depend only on the dataset's bucketed capacity, so it recompiles O(log n)
+    # times over a run. Semantics match the host path (reference
+    # mbrl/models/model_trainer.py:146-296) epoch for epoch.
+
+    def _device_train_program(
+        self,
+        params,
+        opt_state,
+        normalizer,
+        data,  # TransitionBatch, capacity rows (device)
+        n_rows,  # dynamic int32: valid rows
+        key,
+        *,
+        num_batches: int,
+        batch_size: int,
+        val_rows: int,
+        val_ratio: float,
+        max_epochs: int,
+        patience: int,
+        improvement_threshold: float,
+        ensemble_size: int,
+        elite_k: int,
+    ):
+        import jax.tree_util as jtu
+
+        E = ensemble_size
+        capacity = jax.tree_util.tree_leaves(data)[0].shape[0]
+        n = jnp.asarray(n_rows, jnp.int32)
+        n_val = (n.astype(jnp.float32) * val_ratio).astype(jnp.int32)
+        n_train = jnp.maximum(n - n_val, 1)
+        k_perm, k_boot, k_loop = jax.random.split(key, 3)
+
+        # shuffled split over the valid rows (static shapes: invalid rows sort last)
+        u = jnp.where(
+            jnp.arange(capacity) < n,
+            jax.random.uniform(k_perm, (capacity,)),
+            jnp.inf,
+        )
+        perm = jnp.argsort(u).astype(jnp.int32)  # first n = shuffled valid rows
+
+        # bootstrap multiset: sampled once per call, WITH replacement, per member
+        # (reference BootstrapIterator, replay_buffer.py:146-171)
+        boot_pos = jax.random.randint(
+            k_boot, (E, num_batches * batch_size), 0, n_train
+        )
+        train_idx = perm[boot_pos]  # (E, nb*B) rows into data
+
+        # validation rows: the split's tail, cycled up to the static row count
+        # (duplicates only weight the mean; comparisons stay consistent in-call)
+        val_pos = n_train + (
+            jnp.arange(val_rows, dtype=jnp.int32) % jnp.maximum(n_val, 1)
+        )
+        val_idx = perm[val_pos]
+        val_batch = jtu.tree_map(lambda a: a[val_idx], data)
+
+        diff0, static = self._split_params(params)
+
+        def eval_fn(diff):
+            p = combine_params(diff, static)
+            state = {"params": p, "normalizer": normalizer}
+            score, _ = self.model.eval_score(state, val_batch)
+            if score.ndim == 2:
+                score = score[None]
+            return score.mean(axis=(1, 2))  # (E,)
+
+        best0 = eval_fn(diff0)
+
+        def epoch_body(carry):
+            diff, opt_state, key, epoch, esu, best_diff, best_val, losses, vals = carry
+            key, k_order, k_epoch = jax.random.split(key, 3)
+            # fresh per-member ORDER of the same bootstrap multiset each epoch
+            order = jnp.argsort(
+                jax.random.uniform(k_order, (E, num_batches * batch_size)), axis=1
+            )
+            idx = jnp.take_along_axis(train_idx, order, axis=1)
+            idx = idx.reshape(E, num_batches, batch_size).transpose(1, 0, 2)
+
+            def step(c, batch_idx):
+                diff, opt_state, key = c
+                key, k = jax.random.split(key)
+                batch = jtu.tree_map(lambda a: a[batch_idx], data)  # (E, B, ...)
+                (loss, _), grads = jax.value_and_grad(
+                    self._loss_fn, has_aux=True
+                )(diff, static, normalizer, batch, k)
+                updates, opt_state = self.optimizer.update(grads, opt_state, diff)
+                diff = optax.apply_updates(diff, updates)
+                return (diff, opt_state, key), loss
+
+            (diff, opt_state, _), batch_losses = jax.lax.scan(
+                step, (diff, opt_state, k_epoch), idx
+            )
+            scores = eval_fn(diff)  # (E,)
+            improved = (
+                (best_val - scores) / jnp.maximum(jnp.abs(best_val), 1e-12)
+            ) > improvement_threshold
+            any_imp = improved.any()
+            best_diff = jtu.tree_map(
+                lambda b, c: jnp.where(any_imp, c, b), best_diff, diff
+            )
+            best_val = jnp.where(any_imp, jnp.minimum(best_val, scores), best_val)
+            esu = jnp.where(any_imp, 0, esu + 1)
+            losses = losses.at[epoch].set(batch_losses.mean())
+            vals = vals.at[epoch].set(scores)
+            return (
+                diff, opt_state, key, epoch + 1, esu, best_diff, best_val,
+                losses, vals,
+            )
+
+        def cond(carry):
+            epoch, esu = carry[3], carry[4]
+            return jnp.logical_and(epoch < max_epochs, esu < patience)
+
+        init = (
+            diff0,
+            opt_state,
+            k_loop,
+            jnp.zeros((), jnp.int32),
+            jnp.zeros((), jnp.int32),
+            diff0,
+            best0,
+            jnp.zeros((max_epochs,), jnp.float32),
+            jnp.zeros((max_epochs, E), jnp.float32),
+        )
+        out = jax.lax.while_loop(cond, epoch_body, init)
+        epochs_done, best_diff, best_val, losses, vals = (
+            out[3], out[5], out[6], out[7], out[8],
+        )
+        final_scores = eval_fn(best_diff)
+        elite = jnp.argsort(final_scores)[:elite_k].astype(jnp.int32)
+        best_params = combine_params(best_diff, static)
+        return best_params, elite, final_scores, best_val, losses, vals, epochs_done
+
+    def train_device(
+        self,
+        state: Dict[str, Any],
+        dataset,  # util.device_buffer.DeviceTransitionDataset
+        *,
+        batch_size: int,
+        val_ratio: float,
+        num_epochs: Optional[int] = None,
+        patience: Optional[int] = None,
+        improvement_threshold: float = 0.01,
+        max_epochs: int = 512,
+        key=None,
+    ) -> Tuple[Dict[str, Any], List[float], List[float]]:
+        """Device-resident counterpart of :meth:`train`: one dispatch, one small
+        device->host fetch (per-epoch metrics) per model retraining."""
+        if key is None:
+            key = jax.random.PRNGKey(self._train_iteration)
+        params = state["params"]
+        normalizer = state.get("normalizer", None)
+        opt_state = self.optimizer.init(self._split_params(params)[0])
+
+        capacity = dataset.capacity
+        E = max(len(self.model), 1)
+        val_rows = max(int(np.ceil(capacity * val_ratio)), 1)
+        num_batches = max((capacity - val_rows) // batch_size, 1)
+        if num_epochs is not None:
+            max_epochs = num_epochs
+        if patience is None:
+            patience = max_epochs  # never triggers
+        elite_k = getattr(self.model, "num_elites", None) or E
+
+        jitted = self._get_device_train_jit()
+        (
+            best_params, elite, final_scores, best_val, losses, vals, epochs_done,
+        ) = jitted(
+            params,
+            opt_state,
+            normalizer,
+            dataset.data,
+            dataset.num_stored,
+            key,
+            num_batches=num_batches,
+            batch_size=batch_size,
+            val_rows=val_rows,
+            val_ratio=float(val_ratio),
+            max_epochs=max_epochs,
+            patience=int(patience),
+            improvement_threshold=float(improvement_threshold),
+            ensemble_size=E,
+            elite_k=int(elite_k),
+        )
+        if E > 1 and hasattr(self.model, "set_elite"):
+            new_state = self.model.set_elite(
+                {**state, "params": best_params}, elite
+            )
+        else:
+            new_state = {**state, "params": best_params}
+
+        # one small async fetch for logging/return values
+        for arr in (losses, vals, epochs_done):
+            try:
+                arr.copy_to_host_async()
+            except AttributeError:
+                pass
+        epochs_done = int(epochs_done)
+        losses = np.asarray(losses)[:epochs_done]
+        vals = np.asarray(vals)[:epochs_done]
+        best_mean = np.minimum.accumulate(vals.mean(axis=1)) if epochs_done else []
+        if self.logger is not None:
+            for e in range(epochs_done):
+                self.logger.log_data(
+                    self._LOG_GROUP_NAME,
+                    {
+                        "train_iteration": self._train_iteration,
+                        "epoch": e,
+                        "train_dataset_size": num_batches * batch_size,
+                        "val_dataset_size": val_rows,
+                        "model_loss": float(losses[e]),
+                        "model_val_score": float(vals[e].mean()),
+                        "model_best_val_score": float(best_mean[e]),
+                    },
+                )
+        self._train_iteration += 1
+        return new_state, list(map(float, losses)), [float(v.mean()) for v in vals]
+
+    def _get_device_train_jit(self):
+        if not hasattr(self, "_jit_device_train"):
+            self._jit_device_train = jax.jit(
+                self._device_train_program,
+                static_argnames=(
+                    "num_batches", "batch_size", "val_rows", "val_ratio",
+                    "max_epochs", "patience", "improvement_threshold",
+                    "ensemble_size", "elite_k",
+                ),
+            )
+        return self._jit_device_train
+
 
 def _dataset_size(dataset) -> int:
     try:

@@ -93,6 +93,25 @@ class TransitionRewardModel:
             "normalizer": nrm.update_stats(state["normalizer"], model_in),
         }
 
+    def update_normalizer_host(
+        self, state: Dict[str, Any], batch: TransitionBatch
+    ) -> Dict[str, Any]:
+        """Host-numpy stats recompute (see ops.normalizer.update_stats_host);
+        falls back to the device path when an obs_process_fn (jnp) is configured."""
+        if not self.normalize:
+            return state
+        if self.obs_process_fn is not None:
+            return self.update_normalizer(state, batch)
+        obs = np.asarray(batch.obs)
+        act = np.asarray(batch.act)
+        if obs.ndim == 1:
+            obs, act = obs[None], act[None]
+        model_in = np.concatenate([obs, act], axis=-1)
+        return {
+            **state,
+            "normalizer": nrm.update_stats_host(state["normalizer"], model_in),
+        }
+
     # ------------------------------------------------------------------ #
     # Batch processing
     # ------------------------------------------------------------------ #

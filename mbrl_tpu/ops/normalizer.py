@@ -49,6 +49,25 @@ def update_stats(state: NormalizerState, data: jax.Array) -> NormalizerState:
     return state.replace(mean=mean, std=std)
 
 
+def update_stats_host(state: NormalizerState, data: np.ndarray) -> NormalizerState:
+    """Host-numpy counterpart of :func:`update_stats`: the stats reduction runs on
+    the CPU (the dataset lives in the host replay buffer anyway) and only the tiny
+    (1, in_size) results are uploaded — avoids shipping the whole buffer to the
+    accelerator once per model retraining."""
+    data = np.asarray(data, dtype=np.asarray(state.mean).dtype)
+    if data.ndim != 2 or data.shape[1] != state.mean.shape[1]:
+        raise ValueError(
+            f"Normalizer expected (N, {state.mean.shape[1]}) data, got {data.shape}"
+        )
+    mean = data.mean(axis=0, keepdims=True)
+    std = data.std(axis=0, keepdims=True, ddof=1)
+    std = np.where(std < state.eps, 1.0, std)
+    return state.replace(
+        mean=jnp.asarray(mean, state.mean.dtype),
+        std=jnp.asarray(std, state.std.dtype),
+    )
+
+
 def normalize(state: NormalizerState, val: jax.Array) -> jax.Array:
     return (val - state.mean) / state.std
 

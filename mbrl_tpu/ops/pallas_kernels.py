@@ -140,10 +140,14 @@ def _gaussian_kernel(
     max_lv_ref = refs[-3]
     layer_refs = refs[2:-3]
     if sample:
-        # distinct stream per (member, tile) program
+        # distinct stream per (member, tile) program. The hardware accepts at
+        # most TWO 32-bit seed words, so mix each program id into one word with
+        # an odd-constant multiply (wrapping int32): distinct programs always
+        # differ in at least one word, and the per-step stream space is 2^64 —
+        # far past birthday collisions over any realistic number of steps.
         pltpu.prng_seed(
-            seed_ref[0],
-            pl.program_id(0) * 16384 + pl.program_id(1),
+            seed_ref[0] + pl.program_id(0) * jnp.int32(-1640531527),  # 0x9E3779B9
+            seed_ref[1] + pl.program_id(1) * jnp.int32(-2049693685),  # 0x85EBCA6B
         )
     h = x_ref[0]  # (TILE, in)
     for i in range(num_layers):
@@ -168,9 +172,10 @@ def _gaussian_kernel(
     shape = mean.shape
     bits1 = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
     bits2 = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
-    # 24-bit uniforms: u1 in (0,1] (log-safe), u2 in [0,1)
-    u1 = ((bits1 >> 8).astype(jnp.float32) + 1.0) * (2.0 ** -24)
-    u2 = (bits2 >> 8).astype(jnp.float32) * (2.0 ** -24)
+    # 24-bit uniforms: u1 in (0,1] (log-safe), u2 in [0,1). Mosaic has no
+    # uint32->f32 cast; the >>8 values fit in int32 (< 2^24), so go via int32.
+    u1 = ((bits1 >> 8).astype(jnp.int32).astype(jnp.float32) + 1.0) * (2.0 ** -24)
+    u2 = (bits2 >> 8).astype(jnp.int32).astype(jnp.float32) * (2.0 ** -24)
     z = jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos((2.0 * np.pi) * u2)
     out_ref[0] = mean + jnp.exp(0.5 * logvar) * z
 
@@ -180,7 +185,7 @@ def _gaussian_kernel(
     static_argnames=("out_size", "activation", "tile", "sample", "interpret"),
 )
 def fused_ensemble_mlp_gaussian(
-    seed: jax.Array,  # (1,) int32
+    seed: jax.Array,  # (2,) int32 — two independent 32-bit seed words
     x: jax.Array,  # (E, S, in)
     layer_ws: Tuple[jax.Array, ...],
     layer_bs: Tuple[jax.Array, ...],

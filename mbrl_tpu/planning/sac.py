@@ -292,6 +292,39 @@ class SAC:
     def update_many(self, state: SACState, batches, key: jax.Array):
         return self._update_many(state, batches, key)
 
+    def _update_from_buffer_impl(
+        self, state: SACState, buf_state, key, num_updates: int, batch_size: int
+    ):
+        """Sample ``num_updates`` batches from a DeviceBufferState and run the
+        scanned updates — ONE program, so the MBPO env loop enqueues a single
+        device call per step with no host round trips (the key is carried on
+        device and returned for the next call)."""
+        key, k_idx, k_upd = jax.random.split(key, 3)
+        idx = jax.random.randint(
+            k_idx, (num_updates, batch_size), 0, jnp.maximum(buf_state.num_stored, 1)
+        )
+        batches = (
+            buf_state.obs[idx],
+            buf_state.act[idx],
+            buf_state.next_obs[idx],
+            buf_state.reward[idx],
+            buf_state.mask[idx],
+        )
+        new_state, metrics = self._update_many_impl(state, batches, k_upd)
+        return new_state, key, metrics
+
+    def update_from_buffer(
+        self, state: SACState, buf_state, key, num_updates: int, batch_size: int
+    ):
+        if not hasattr(self, "_update_from_buffer"):
+            self._update_from_buffer = jax.jit(
+                self._update_from_buffer_impl,
+                static_argnames=("num_updates", "batch_size"),
+            )
+        return self._update_from_buffer(
+            state, buf_state, key, num_updates=num_updates, batch_size=batch_size
+        )
+
     # ------------------------------------------------------------------ #
     # Persistence
     # ------------------------------------------------------------------ #
@@ -308,23 +341,68 @@ class SAC:
 
 class SACAgent(Agent):
     """Adapts the SAC learner to the Agent.act API (parity:
-    mbrl/planning/sac_wrapper.py:13-46)."""
+    mbrl/planning/sac_wrapper.py:13-46).
 
-    def __init__(self, sac: SAC, state: SACState, seed: int = 0):
+    TPU re-design: ``act`` runs the tiny policy MLP on the HOST CPU backend
+    against a mirrored copy of the policy params. Every env step needs the action
+    on the host, so acting on the accelerator costs a full device round trip per
+    step (~hundreds of ms over a remote-device link); the CPU forward is ~0.2 ms.
+    ``set_state`` starts an ASYNC device->host copy of the new policy; the next
+    ``act`` harvests it — by then the copy has had the whole env step to complete,
+    so the policy used at step t+1 reflects all updates through step t, exactly
+    the reference's semantics (mbrl/algorithms/mbpo.py:210-273) with the transfer
+    latency hidden behind host work."""
+
+    def __init__(self, sac: SAC, state: SACState, seed: int = 0,
+                 host_actor: bool = True):
         self.sac = sac
         self.state = state
-        self._key = jax.random.PRNGKey(seed)
+        self._host_actor = host_actor
+        self._cpu = jax.devices("cpu")[0]
+        if host_actor:
+            self._key = jax.device_put(jax.random.PRNGKey(seed), self._cpu)
+        else:
+            self._key = jax.random.PRNGKey(seed)
+        self._host_policy = None
+        self._policy_dirty = True
 
     def set_state(self, state: SACState) -> None:
         self.state = state
+        if self._host_actor:
+            jax.tree_util.tree_map(_maybe_copy_async, state.policy)
+            self._policy_dirty = True
 
     def _next_key(self):
         self._key, sub = jax.random.split(self._key)
         return sub
 
+    def _ensure_host_policy(self):
+        if self._policy_dirty or self._host_policy is None:
+            host = jax.device_get(self.state.policy)  # fast after the async copy
+            self._host_policy = jax.device_put(host, self._cpu)
+            self._policy_dirty = False
+        return self._host_policy
+
     def act(
         self, obs: np.ndarray, sample: bool = False, batched: bool = False, **kwargs
     ) -> np.ndarray:
-        return self.sac.select_action(
-            self.state, obs, self._next_key(), evaluate=not sample
-        )
+        if not self._host_actor:
+            return self.sac.select_action(
+                self.state, obs, self._next_key(), evaluate=not sample
+            )
+        policy = self._ensure_host_policy()
+        obs = jax.device_put(np.asarray(obs, np.float32), self._cpu)
+        squeeze = obs.ndim == 1
+        if squeeze:
+            obs = obs[None]
+        act = self.sac._act(policy, obs, self._next_key(), sample=sample)
+        act = np.asarray(act)
+        return act[0] if squeeze else act
+
+
+def _maybe_copy_async(leaf):
+    try:
+        leaf.copy_to_host_async()
+    except AttributeError:
+        pass
+    return leaf

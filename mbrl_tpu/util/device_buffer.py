@@ -17,6 +17,7 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import struct
 
 
@@ -167,3 +168,114 @@ class DeviceReplayBuffer:
 
     def __len__(self):
         raise TypeError("DeviceReplayBuffer is stateless; use int(state.num_stored)")
+
+
+class DeviceTransitionDataset:
+    """Incrementally-synced device mirror of a host replay buffer, for fully
+    on-device model training (``ModelTrainer.train_device``).
+
+    The reference re-uploads the whole (growing) dataset every epoch through its
+    host iterators; over a remote-device link that upload dominates training. Here
+    the device holds the dataset once: each sync uploads ONLY the new transitions
+    (one small H2D per model retraining), and capacity grows in geometric buckets
+    (default x1.25, rounded to 256) so downstream jitted programs — whose shapes
+    depend on the capacity, not the row count — recompile O(log n) times instead of
+    every retrain.
+    """
+
+    def __init__(self, obs_dim: int, act_dim: int, min_capacity: int = 4096,
+                 growth: float = 1.25):
+        self.obs_dim = obs_dim
+        self.act_dim = act_dim
+        self.min_capacity = min_capacity
+        self.growth = growth
+        self.capacity = 0
+        self.num_stored = 0
+        self.data = None  # TransitionBatch of device arrays, capacity rows
+
+    def _bucket(self, needed: int) -> int:
+        cap = max(self.min_capacity, 256)
+        while cap < needed:
+            cap = int(-(-cap * self.growth // 256) * 256)  # ceil to 256 multiple
+        return cap
+
+    def _alloc(self, capacity: int):
+        from mbrl_tpu.types import TransitionBatch
+
+        z = lambda *shape: jnp.zeros(shape, jnp.float32)
+        old, old_n = self.data, self.num_stored
+        self.data = TransitionBatch(
+            obs=z(capacity, self.obs_dim),
+            act=z(capacity, self.act_dim),
+            next_obs=z(capacity, self.obs_dim),
+            rewards=z(capacity),
+            terminateds=jnp.zeros((capacity,), bool),
+            truncateds=jnp.zeros((capacity,), bool),
+        )
+        self.capacity = capacity
+        if old is not None and old_n:
+            self.data = jax.tree_util.tree_map(
+                lambda dst, src: jax.lax.dynamic_update_slice_in_dim(
+                    dst, src[:old_n], 0, axis=0
+                ),
+                self.data,
+                old,
+            )
+
+    def append(self, batch) -> None:
+        """Append host transitions (TransitionBatch of numpy arrays) at the tail;
+        grows the device allocation to the next bucket when needed."""
+        k = int(np.shape(batch.obs)[0])
+        if k == 0:
+            return
+        if self.num_stored + k > self.capacity:
+            self._alloc(self._bucket(self.num_stored + k))
+        start = self.num_stored
+
+        def put(dst, src):
+            src = jnp.asarray(np.asarray(src), dst.dtype)
+            return jax.lax.dynamic_update_slice_in_dim(dst, src, start, axis=0)
+
+        self.data = jax.tree_util.tree_map(put, self.data, batch)
+        self.num_stored += k
+
+    def overwrite(self, start: int, batch) -> None:
+        """Overwrite rows [start, start+k) in place (post-wrap ring updates)."""
+        k = int(np.shape(batch.obs)[0])
+        if k == 0:
+            return
+
+        def put(dst, src):
+            src = jnp.asarray(np.asarray(src), dst.dtype)
+            return jax.lax.dynamic_update_slice_in_dim(dst, src, start, axis=0)
+
+        self.data = jax.tree_util.tree_map(put, self.data, batch)
+
+    def sync_from(self, replay_buffer) -> None:
+        """Mirror a host ReplayBuffer's physical rows, uploading only the rows
+        written since the last sync (pre-wrap: a tail append; post-wrap: at most
+        two contiguous overwritten slices of the ring)."""
+        n, cur = replay_buffer.num_stored, int(replay_buffer.cur_idx)
+        prev_cur = getattr(self, "_last_cur", 0)
+        if n < self.num_stored:  # host buffer was reset/reloaded: mirror afresh
+            self.capacity = 0
+            self.num_stored = 0
+            self.data = None
+            prev_cur = 0
+        if n > self.num_stored and cur == n:
+            # un-wrapped ring: new rows are a pure tail append
+            self.append(replay_buffer.get_range(self.num_stored, n))
+        elif n == self.num_stored and cur == prev_cur:
+            pass  # nothing new
+        else:
+            # wrapped ring: physical rows [prev_cur, cur) (mod capacity) changed
+            if self.num_stored < n:
+                self.append(replay_buffer.get_range(self.num_stored, n))
+            if cur >= prev_cur:
+                self.overwrite(prev_cur, replay_buffer.get_range(prev_cur, cur))
+            else:
+                self.overwrite(
+                    prev_cur, replay_buffer.get_range(prev_cur, n)
+                )
+                self.overwrite(0, replay_buffer.get_range(0, cur))
+        self._last_cur = cur

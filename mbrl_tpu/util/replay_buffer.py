@@ -202,6 +202,10 @@ class ReplayBuffer:
             return self._gather(self._rng.permutation(self.num_stored))
         return self._gather(slice(0, self.num_stored))
 
+    def get_range(self, start: int, end: int) -> TransitionBatch:
+        """Physical rows [start, end) — incremental device-mirror syncs."""
+        return self._gather(slice(start, end))
+
     def __len__(self) -> int:
         return self.num_stored
 

@@ -1,0 +1,52 @@
+"""North-star parity run: MBPO on gym HalfCheetah-v5 (reference
+``mbrl/examples/conf/overrides/mbpo_halfcheetah.yaml`` +
+``mbrl/algorithms/mbpo.py:116-301``), on the real TPU chip.
+
+Uses a FIXED work dir (unlike the timestamped ``examples.main`` run dirs) so the
+run can be stopped and resumed across invocations via the full-state checkpoints
+written every ``checkpoint_every`` env steps.
+
+Usage:  python scripts/run_mbpo_halfcheetah.py [extra k=v overrides ...]
+"""
+from __future__ import annotations
+
+import pathlib
+import sys
+
+import numpy as np
+import yaml
+
+import mbrl_tpu.algorithms.mbpo as mbpo
+from mbrl_tpu.config import load_config, to_dict
+from mbrl_tpu.util.env import create_handler
+
+REPO = pathlib.Path(__file__).resolve().parent.parent
+WORK_DIR = REPO / "exp" / "mbpo_halfcheetah_northstar"
+
+
+def main() -> None:
+    overrides = [
+        "algorithm=mbpo",
+        "overrides=mbpo_halfcheetah",
+        "debug_mode=true",
+        "checkpoint_every=1000",
+        "resume=true",
+        "seed=0",
+    ] + sys.argv[1:]
+    cfg = load_config(REPO / "mbrl_tpu" / "examples" / "conf", "main", overrides=overrides)
+
+    handler = create_handler(cfg)
+    env, term_fn, _ = handler.make_env(cfg)
+    test_env, *_ = create_handler(cfg).make_env(cfg)
+    np.random.seed(cfg.seed)
+
+    WORK_DIR.mkdir(parents=True, exist_ok=True)
+    with open(WORK_DIR / "config.yaml", "w") as f:
+        yaml.safe_dump(to_dict(cfg), f)
+
+    best = mbpo.train(env, test_env, term_fn, cfg, work_dir=str(WORK_DIR))
+    print(f"DONE best_eval_reward={best}")
+
+
+if __name__ == "__main__":
+    main()

@@ -227,3 +227,47 @@ def test_forward_bfloat16_close_to_f32():
     assert m16.dtype == jnp.float32
     np.testing.assert_allclose(np.asarray(m16), np.asarray(m32), atol=5e-2)
     np.testing.assert_allclose(np.asarray(lv16), np.asarray(lv32), atol=5e-2)
+
+
+def test_fast_rollout_pallas_kernel_wiring(monkeypatch):
+    """With use_pallas=True the step_fn must route through
+    fused_ensemble_mlp_gaussian. On CPU the hardware PRNG is unavailable, so the
+    kernel is emulated with the same math in plain JAX; the rollout must (a)
+    actually CALL it and (b) still produce the analytic expected return."""
+    import mbrl_tpu.models.fast_rollout as fr
+    import mbrl_tpu.ops.pallas_kernels as pk
+
+    calls = {"n": 0}
+
+    def fake_kernel(seed, x, layer_ws, layer_bs, head_w, head_b, max_logvar,
+                    min_logvar, out_size, activation=jax.nn.silu, tile=512,
+                    sample=True, interpret=False):
+        calls["n"] += 1
+        assert seed.shape == (2,)
+        h = x
+        for w, b in zip(layer_ws, layer_bs):
+            h = activation(jnp.einsum("ebi,eio->ebo", h, w) + b)
+        out = jnp.einsum("ebi,eio->ebo", h, head_w) + head_b
+        mean = out[..., :out_size]
+        logvar = out[..., out_size:]
+        logvar = max_logvar - jax.nn.softplus(max_logvar - logvar)
+        logvar = min_logvar + jax.nn.softplus(logvar - min_logvar)
+        key = jax.random.fold_in(jax.random.fold_in(jax.random.PRNGKey(0), seed[0]), seed[1])
+        z = jax.random.normal(key, mean.shape)
+        return mean + jnp.exp(0.5 * logvar) * z
+
+    monkeypatch.setattr(fr, "_kernel_platform_ok", lambda: True)
+    monkeypatch.setattr(pk, "fused_ensemble_mlp_gaussian", fake_kernel)
+
+    wrapper, state = _constant_member_model("random_model", shuffle="rotate")
+    wrapper.model.use_pallas = True
+    env = ModelEnv(wrapper, _no_term)
+    horizon, particles = 6, 8 * ENSEMBLE
+    seqs = jnp.zeros((1, horizon, ACT_DIM))
+    obs0 = jnp.zeros((OBS_DIM,))
+    values = env.evaluate_action_sequences(
+        state, seqs, obs0, jax.random.PRNGKey(1), num_particles=particles
+    )
+    assert calls["n"] >= 1, "fused kernel was never called"
+    expected = horizon * float(MEMBER_VALUES.mean())
+    np.testing.assert_allclose(np.asarray(values), expected, rtol=1e-3)

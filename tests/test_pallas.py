@@ -67,3 +67,51 @@ def test_gaussian_mlp_pallas_path_interpret(monkeypatch):
     mean_b, lv_b = m_pallas.forward_propagated(params, x, propagation_indices=perm)
     np.testing.assert_allclose(np.asarray(mean_a), np.asarray(mean_b), rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(np.asarray(lv_a), np.asarray(lv_b), rtol=1e-5, atol=1e-5)
+
+
+def test_fused_gaussian_mean_matches_einsum(monkeypatch):
+    """Interpret-mode check of fused_ensemble_mlp_gaussian's mean path (the
+    hardware-PRNG sampling path needs a real TPU; its distribution is exercised
+    by scripts/verify_pallas_kernel_on_tpu.py and the on-chip bench)."""
+    from mbrl_tpu.ops.pallas_kernels import fused_ensemble_mlp_gaussian, pick_tile
+
+    E, S, IN, HID, OUT = 3, 16, 7, 24, 5
+    ks = jax.random.split(jax.random.PRNGKey(0), 8)
+    ws = (
+        0.1 * jax.random.normal(ks[0], (E, IN, HID)),
+        0.1 * jax.random.normal(ks[1], (E, HID, HID)),
+    )
+    bs = (
+        0.1 * jax.random.normal(ks[2], (E, 1, HID)),
+        0.1 * jax.random.normal(ks[3], (E, 1, HID)),
+    )
+    hw = 0.1 * jax.random.normal(ks[4], (E, HID, 2 * OUT))
+    hb = 0.1 * jax.random.normal(ks[5], (E, 1, 2 * OUT))
+    maxlv = 0.5 * jnp.ones((1, OUT))
+    minlv = -10.0 * jnp.ones((1, OUT))
+    x = jax.random.normal(ks[6], (E, S, IN))
+
+    h = x
+    for w, b in zip(ws, bs):
+        h = jax.nn.silu(jnp.einsum("ebi,eio->ebo", h, w) + b)
+    out = jnp.einsum("ebi,eio->ebo", h, hw) + hb
+    ref_mean = out[..., :OUT]
+
+    seed = jnp.array([123, 456], jnp.int32)
+    mean_k = fused_ensemble_mlp_gaussian(
+        seed, x, ws, bs, hw, hb, maxlv, minlv, out_size=OUT,
+        tile=pick_tile(S), sample=False, interpret=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(mean_k), np.asarray(ref_mean), rtol=1e-5, atol=1e-5
+    )
+
+
+def test_pick_tile():
+    from mbrl_tpu.ops.pallas_kernels import pick_tile
+
+    assert pick_tile(1024) == 1024
+    assert pick_tile(1600) == 800
+    assert pick_tile(2048, max_tile=1024) == 1024
+    assert pick_tile(7) is None  # no multiple-of-8 divisor
+    assert pick_tile(24) == 24
