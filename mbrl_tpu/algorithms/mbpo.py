@@ -30,6 +30,7 @@ import mbrl_tpu.constants
 from mbrl_tpu.config import Config, complete_agent_cfg, create_one_dim_tr_model
 from mbrl_tpu.models import ModelEnv, ModelTrainer
 from mbrl_tpu.ops.math import truncated_linear
+from mbrl_tpu.parallel import make_parallel_context
 from mbrl_tpu.planning import RandomAgent
 from mbrl_tpu.planning.sac import SAC, SACAgent
 from mbrl_tpu.util import checkpoint as ckpt
@@ -190,7 +191,12 @@ def train(
     )
     key, k_sac = jax.random.split(key)
     sac_state = sac.init(k_sac)
-    agent = SACAgent(sac, sac_state, seed=(cfg.seed or 0) + 3)
+    agent = SACAgent(
+        sac,
+        sac_state,
+        seed=(cfg.seed or 0) + 3,
+        refresh_age=cfg.algorithm.get("actor_refresh_age", 1),
+    )
 
     work_dir = work_dir or os.getcwd()
     logger = None
@@ -227,12 +233,30 @@ def train(
             replay_buffer=replay_buffer,
         )
 
-    model_env = ModelEnv(dynamics_model, termination_fn, None)
+    # optional mesh sharding from the `parallel:` config group: ensemble params
+    # over the model axis, imagined-rollout particles + training rows over the
+    # data axis; SAC state/buffers replicate so every program sees one device set
+    pctx = make_parallel_context(cfg)
+
+    def _rep(tree):
+        return jax.device_put(tree, pctx.replicated()) if pctx is not None else tree
+
+    if pctx is not None:
+        model_state = pctx.shard_model_state(len(dynamics_model), model_state)
+        sac_state = _rep(sac_state)
+        agent.set_state(sac_state)
+    model_env = ModelEnv(
+        dynamics_model,
+        termination_fn,
+        None,
+        particle_sharding=pctx.particle_sharding() if pctx else None,
+    )
     model_trainer = ModelTrainer(
         dynamics_model,
         optim_lr=cfg.overrides.model_lr,
         weight_decay=cfg.overrides.model_wd,
         logger=logger,
+        parallel_ctx=pctx,
     )
 
     # ----------------- loop -----------------
@@ -274,11 +298,13 @@ def train(
     # device-resident PRNG key for the fused sample+update program (carried and
     # returned on device, so the update path is pure enqueue)
     key, k_upd_init = jax.random.split(key)
-    upd_key = k_upd_init
+    upd_key = _rep(k_upd_init)
 
     if resume_snap is not None:
         model_state = resume_snap["model_state"]
-        sac_state = resume_snap["sac_state"]
+        sac_state = _rep(resume_snap["sac_state"])
+        if pctx is not None:
+            model_state = pctx.shard_model_state(len(dynamics_model), model_state)
         agent.set_state(sac_state)
         key = resume_snap["key"]
         upd_key = resume_snap.get("upd_key", upd_key)
@@ -301,6 +327,7 @@ def train(
                 sac_buffer, sac_buf_state, obs_dim, act_dim, sac_buffer_capacity
             )
             sac_buf_known_min = min(sac_buf_known_min, sac_buffer.capacity)
+            sac_buf_state = _rep(sac_buf_state)
             rollout_prog = _ImaginedRolloutProgram(
                 model_env, sac, sac_buffer, cfg.algorithm.sac_samples_action
             )
@@ -324,6 +351,8 @@ def train(
                         model_state, replay_buffer.get_all()
                     )
                     device_dataset.sync_from(replay_buffer)
+                    if pctx is not None:
+                        pctx.shard_dataset(device_dataset)
                     model_state, _, _ = model_trainer.train_device(
                         model_state,
                         device_dataset,
@@ -340,8 +369,20 @@ def train(
                         dynamics_model, model_state, model_trainer,
                         cfg.overrides, replay_buffer, work_dir=work_dir,
                     )
-                initial_obs = replay_buffer.sample(rollout_batch_size).obs
+                if device_training and pctx is not None:
+                    model_state = pctx.shard_model_state(
+                        len(dynamics_model), model_state
+                    )
+                initial_obs = jnp.asarray(
+                    replay_buffer.sample(rollout_batch_size).obs, jnp.float32
+                )
                 key, k_roll = jax.random.split(key)
+                if pctx is not None:
+                    if rollout_batch_size % pctx.mesh.shape["data"] == 0:
+                        initial_obs = jax.device_put(
+                            initial_obs, pctx.row_sharding()
+                        )
+                    k_roll = _rep(k_roll)
                 sac_buf_state = rollout_prog.run(
                     model_state, sac_state.policy, sac_buf_state,
                     initial_obs, k_roll, rollout_length,

@@ -23,6 +23,7 @@ import mbrl_tpu.constants
 from mbrl_tpu.config import Config, complete_agent_cfg, create_one_dim_tr_model, instantiate
 from mbrl_tpu.util import checkpoint as ckpt
 from mbrl_tpu.models import ModelEnv, ModelTrainer
+from mbrl_tpu.parallel import make_parallel_context
 from mbrl_tpu.planning import RandomAgent, create_trajectory_optim_agent_for_model
 from mbrl_tpu.util import common as util_common
 from mbrl_tpu.util.logger import Logger
@@ -88,12 +89,23 @@ def train(
         replay_buffer.save(work_dir)
 
     # ---------- Create model environment and agent -----------
-    model_env = ModelEnv(dynamics_model, termination_fn, reward_fn)
+    # optional mesh sharding from the `parallel:` config group: ensemble params
+    # over the model axis, planning particles + training rows over the data axis
+    pctx = make_parallel_context(cfg)
+    if pctx is not None:
+        model_state = pctx.shard_model_state(len(dynamics_model), model_state)
+    model_env = ModelEnv(
+        dynamics_model,
+        termination_fn,
+        reward_fn,
+        particle_sharding=pctx.particle_sharding() if pctx else None,
+    )
     model_trainer = ModelTrainer(
         dynamics_model,
         optim_lr=cfg.overrides.model_lr,
         weight_decay=cfg.overrides.model_wd,
         logger=logger,
+        parallel_ctx=pctx,
     )
     agent_cfg = complete_agent_cfg(env, cfg.algorithm.agent)
     agent = instantiate(agent_cfg, seed=(cfg.seed or 0) + 1)
@@ -111,6 +123,8 @@ def train(
     # checkpoint in the work dir (reference has no mid-run resume; SURVEY.md §5.4)
     if resume_snap is not None:
         model_state = resume_snap["model_state"]
+        if pctx is not None:
+            model_state = pctx.shard_model_state(len(dynamics_model), model_state)
         key = resume_snap["key"]
         env_steps = int(resume_snap["env_steps"])
         current_trial = int(resume_snap["current_trial"])
@@ -135,6 +149,10 @@ def train(
                     replay_buffer,
                     work_dir=work_dir,
                 )
+                if pctx is not None:
+                    model_state = pctx.shard_model_state(
+                        len(dynamics_model), model_state
+                    )
                 agent.set_eval_state(model_state)
                 if checkpoint_every and env_steps and env_steps % checkpoint_every == 0:
                     ckpt.save_checkpoint(

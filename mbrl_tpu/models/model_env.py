@@ -121,10 +121,15 @@ class ModelEnv:
         init_obs = jnp.broadcast_to(
             initial_obs, (batch,) + initial_obs.shape
         ).astype(jnp.float32)
-        if self.particle_sharding is not None:
-            init_obs = jax.lax.with_sharding_constraint(
-                init_obs, self.particle_sharding
-            )
+        psh = self.particle_sharding
+        if psh is not None:
+            # XLA rejects uneven shardings: fall back to default placement when
+            # the particle batch doesn't divide the data axis
+            n_data = 1
+            for axis in jax.tree_util.tree_leaves(tuple(psh.spec)):
+                n_data *= psh.mesh.shape[axis]
+            if batch % max(n_data, 1) == 0:
+                init_obs = jax.lax.with_sharding_constraint(init_obs, psh)
         key, k_reset, k_prep = jax.random.split(key, 3)
         model_state = self.dynamics_model.reset(state, init_obs, k_reset)
         prepare = getattr(self.dynamics_model, "prepare_rollout", None)

@@ -42,9 +42,15 @@ class ModelTrainer:
         optim_eps: float = 1e-8,
         logger=None,
         pad_epoch_to_multiple: int = 8,
+        parallel_ctx=None,
     ):
         self.model = model
         self.logger = logger
+        # Optional mesh sharding (parallel.ParallelContext): stacked epoch batches
+        # place members over the mesh's model axis and rows over the data axis, so
+        # the jitted epoch partitions across chips (params are sharded by the
+        # caller via ParallelContext.shard_model_state).
+        self.parallel_ctx = parallel_ctx
         # Round the per-epoch minibatch count up to this multiple (cycling batches
         # from the epoch start). As the replay buffer grows between retrainings the
         # epoch length changes every call; padding buckets the scan length so the
@@ -207,6 +213,7 @@ class ModelTrainer:
             )
             stacked = self._pad_epoch(stacked)
             stacked = jax.tree_util.tree_map(jnp.asarray, stacked)
+            stacked = self._maybe_shard_stacked(stacked)
             key, k_epoch = jax.random.split(key)
             params, opt_state, batch_losses, batch_metas = self._jit_epoch(
                 params, opt_state, normalizer, stacked, k_epoch
@@ -281,6 +288,34 @@ class ModelTrainer:
                 new_state = self.model.set_elite(new_state, order[:k])
         self._train_iteration += 1
         return new_state, training_losses, val_scores
+
+    def _maybe_shard_stacked(self, stacked):
+        """Place stacked (num_batches, E, B, ...) epoch pytrees on the mesh:
+        member axis (1) over `model`, row axis (2) over `data`; low-rank leaves
+        replicate. Keys/val batches are handled by their own placements."""
+        if self.parallel_ctx is None:
+            return stacked
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from mbrl_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
+
+        mesh = self.parallel_ctx.mesh
+        E = max(len(self.model), 1)
+        m_ok = E % mesh.shape[MODEL_AXIS] == 0
+        d = mesh.shape[DATA_AXIS]
+
+        def put(leaf):
+            if leaf.ndim >= 3 and leaf.shape[1] == E and leaf.shape[2] % d == 0:
+                spec = (
+                    P(None, MODEL_AXIS, DATA_AXIS) if m_ok else P(None, None, DATA_AXIS)
+                )
+            elif leaf.ndim >= 2 and leaf.shape[1] % d == 0:
+                spec = P(None, DATA_AXIS)
+            else:
+                spec = P()
+            return jax.device_put(leaf, NamedSharding(mesh, spec))
+
+        return jax.tree_util.tree_map(put, stacked)
 
     def _pad_epoch(self, stacked):
         m = self.pad_epoch_to_multiple
@@ -493,6 +528,8 @@ class ModelTrainer:
         device->host fetch (per-epoch metrics) per model retraining."""
         if key is None:
             key = jax.random.PRNGKey(self._train_iteration)
+        if self.parallel_ctx is not None:
+            key = jax.device_put(key, self.parallel_ctx.replicated())
         params = state["params"]
         normalizer = state.get("normalizer", None)
         opt_state = self.optimizer.init(self._split_params(params)[0])

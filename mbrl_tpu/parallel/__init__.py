@@ -1,3 +1,4 @@
+from .context import ParallelContext, make_parallel_context
 from .env_workers import EnvWorkerPool
 from .mesh import (
     DATA_AXIS,
@@ -20,4 +21,6 @@ __all__ = [
     "shard_particles",
     "replicate",
     "EnvWorkerPool",
+    "ParallelContext",
+    "make_parallel_context",
 ]

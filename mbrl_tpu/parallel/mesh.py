@@ -49,10 +49,18 @@ def make_mesh(
 
 def ensemble_param_sharding(mesh: Mesh, ensemble_size: int):
     """Sharding rule for a stacked-ensemble params pytree: leaves whose leading axis
-    is the ensemble axis shard over ``model``; everything else replicates."""
+    is the ensemble axis shard over ``model``; everything else replicates. Leaves
+    whose ensemble axis doesn't divide the mesh's model axis replicate too (XLA
+    rejects uneven device_put shardings)."""
+    model_size = mesh.shape[MODEL_AXIS]
 
     def rule(leaf):
-        if hasattr(leaf, "shape") and leaf.ndim >= 1 and leaf.shape[0] == ensemble_size:
+        if (
+            hasattr(leaf, "shape")
+            and leaf.ndim >= 1
+            and leaf.shape[0] == ensemble_size
+            and ensemble_size % model_size == 0
+        ):
             return NamedSharding(mesh, P(MODEL_AXIS))
         return NamedSharding(mesh, P())
 

@@ -354,33 +354,53 @@ class SACAgent(Agent):
     latency hidden behind host work."""
 
     def __init__(self, sac: SAC, state: SACState, seed: int = 0,
-                 host_actor: bool = True):
+                 host_actor: bool = True, refresh_age: int = 1):
         self.sac = sac
         self.state = state
         self._host_actor = host_actor
+        # Harvest a pending async policy copy only after it has had
+        # ``refresh_age`` acts' worth of wall time to land: refresh_age=1 means
+        # the policy at step t+1 reflects all updates through step t (exact
+        # reference interleaving, but each act may block on the transfer);
+        # larger values bound staleness to ~2*refresh_age env steps while the
+        # act path never blocks on the device link (the right trade over a
+        # high-latency remote-device tunnel).
+        self._refresh_age = max(int(refresh_age), 1)
         self._cpu = jax.devices("cpu")[0]
         if host_actor:
             self._key = jax.device_put(jax.random.PRNGKey(seed), self._cpu)
         else:
             self._key = jax.random.PRNGKey(seed)
         self._host_policy = None
-        self._policy_dirty = True
+        self._pending = None
+        self._pending_age = 0
 
     def set_state(self, state: SACState) -> None:
         self.state = state
-        if self._host_actor:
+        if self._host_actor and self._pending is None:
             jax.tree_util.tree_map(_maybe_copy_async, state.policy)
-            self._policy_dirty = True
+            self._pending = state.policy
+            self._pending_age = 0
 
     def _next_key(self):
         self._key, sub = jax.random.split(self._key)
         return sub
 
     def _ensure_host_policy(self):
-        if self._policy_dirty or self._host_policy is None:
-            host = jax.device_get(self.state.policy)  # fast after the async copy
-            self._host_policy = jax.device_put(host, self._cpu)
-            self._policy_dirty = False
+        if self._host_policy is None:  # first act: synchronous fetch
+            if self._pending is None:
+                self._pending = self.state.policy
+            self._host_policy = jax.device_put(
+                jax.device_get(self._pending), self._cpu
+            )
+            self._pending = None
+        elif self._pending is not None:
+            self._pending_age += 1
+            if self._pending_age >= self._refresh_age:
+                self._host_policy = jax.device_put(
+                    jax.device_get(self._pending), self._cpu
+                )
+                self._pending = None
         return self._host_policy
 
     def act(

@@ -13,8 +13,11 @@ from __future__ import annotations
 import pathlib
 import sys
 
+import jax
 import numpy as np
 import yaml
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 
 import mbrl_tpu.algorithms.mbpo as mbpo
 from mbrl_tpu.config import load_config, to_dict
