@@ -63,6 +63,12 @@ def run(cfg) -> float:
 
 
 def main() -> None:
+    # multi-host: joins the JAX process group iff MBRL_TPU_COORDINATOR /
+    # _NUM_PROCESSES / _PROCESS_ID are set (no-op on a single host) — must
+    # happen before any device use
+    from mbrl_tpu.parallel.multihost import maybe_initialize_distributed
+
+    maybe_initialize_distributed()
     overrides = sys.argv[1:]
     cfg = load_config(_CONF_DIR, "main", overrides=overrides)
     run(cfg)

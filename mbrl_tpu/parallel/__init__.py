@@ -1,5 +1,12 @@
 from .context import ParallelContext, make_parallel_context
 from .env_workers import EnvWorkerPool
+from .multihost import (
+    global_mesh,
+    local_worker_slice,
+    maybe_initialize_distributed,
+    process_info,
+    run_multihost_dryrun,
+)
 from .mesh import (
     DATA_AXIS,
     MODEL_AXIS,
@@ -23,4 +30,9 @@ __all__ = [
     "EnvWorkerPool",
     "ParallelContext",
     "make_parallel_context",
+    "maybe_initialize_distributed",
+    "process_info",
+    "global_mesh",
+    "local_worker_slice",
+    "run_multihost_dryrun",
 ]

@@ -229,3 +229,21 @@ class TestParallelConfigPath:
         pctx = make_parallel_context(cfg)
         assert pctx is not None
         assert pctx.mesh.shape[MODEL_AXIS] == 4
+
+
+def test_local_worker_slice_partition():
+    """Worker shares must partition [0, N) across processes (single-process
+    here: the full range)."""
+    from mbrl_tpu.parallel.multihost import local_worker_slice
+
+    assert list(local_worker_slice(5)) == [0, 1, 2, 3, 4]
+
+
+@pytest.mark.slow
+def test_multihost_dryrun_two_processes():
+    """2 local CPU processes form one JAX process group over a global 8-device
+    mesh: init + cross-process psum + sharded ensemble train step (BASELINE's
+    multi-host correctness path — no hardware claim)."""
+    from mbrl_tpu.parallel.multihost import run_multihost_dryrun
+
+    run_multihost_dryrun(num_processes=2, devices_per_process=4)
