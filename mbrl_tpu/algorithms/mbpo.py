@@ -37,6 +37,7 @@ from mbrl_tpu.util import checkpoint as ckpt
 from mbrl_tpu.util import common as util_common
 from mbrl_tpu.util.device_buffer import DeviceReplayBuffer, DeviceTransitionDataset
 from mbrl_tpu.util.logger import Logger
+from mbrl_tpu.util.video import VideoRecorder
 
 MBPO_LOG_FORMAT = mbrl_tpu.constants.EVAL_LOG_FORMAT + [
     ("epoch", "E", "int"),
@@ -205,6 +206,10 @@ def train(
         logger.register_group(
             mbrl_tpu.constants.RESULTS_LOG_NAME, MBPO_LOG_FORMAT, color="green"
         )
+    # per-epoch eval videos (reference mbrl/algorithms/mbpo.py:137-147)
+    video_recorder = (
+        VideoRecorder(work_dir) if cfg.get("save_video", False) else None
+    )
 
     # ----------------- model + real buffer -----------------
     dynamics_model = create_one_dim_tr_model(cfg, obs_shape, act_shape)
@@ -467,8 +472,11 @@ def train(
             # --------------- epoch end: evaluate + checkpoint ---------------
             if (env_steps + 1) % cfg.overrides.epoch_length == 0:
                 avg_reward = evaluate(
-                    test_env, agent, cfg.algorithm.num_eval_episodes
+                    test_env, agent, cfg.algorithm.num_eval_episodes,
+                    video_recorder=video_recorder,
                 )
+                if video_recorder is not None:
+                    video_recorder.save(f"{epoch}.mp4")
                 if logger is not None:
                     logger.log_data(
                         mbrl_tpu.constants.RESULTS_LOG_NAME,

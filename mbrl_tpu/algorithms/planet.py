@@ -104,12 +104,14 @@ def train(
     rec_losses: List[float] = []
     reward_losses: List[float] = []
     kl_losses: List[float] = []
+    grad_norms: List[float] = []
 
     def batch_callback(_epoch, _loss, meta, _mode):
         if meta:
             rec_losses.append(float(meta["observations_loss"]))
             reward_losses.append(float(meta["reward_loss"]))
             kl_losses.append(float(meta["kl_loss"]))
+            grad_norms.append(float(meta.get("grad_norm", 0.0)))
 
     def is_test_episode(episode):
         return episode % cfg.algorithm.test_frequency == 0
@@ -145,11 +147,11 @@ def train(
                 {
                     "observations_loss": float(np.mean(rec_losses)) if rec_losses else 0,
                     "reward_loss": float(np.mean(reward_losses)) if reward_losses else 0,
-                    "gradient_norm": 0.0,
+                    "gradient_norm": float(np.mean(grad_norms)) if grad_norms else 0,
                     "kl_loss": float(np.mean(kl_losses)) if kl_losses else 0,
                 },
             )
-        for c in (rec_losses, reward_losses, kl_losses):
+        for c in (rec_losses, reward_losses, kl_losses, grad_norms):
             c.clear()
 
         # --------------- collect one episode ---------------

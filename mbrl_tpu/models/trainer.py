@@ -130,6 +130,10 @@ class ModelTrainer:
             (loss, meta), grads = jax.value_and_grad(self._loss_fn, has_aux=True)(
                 diff, static, normalizer, batch, k
             )
+            if isinstance(meta, dict):
+                # real pre-clip global gradient norm (reference logs it per
+                # update, mbrl/models/planet.py:484-519 via Model.update meta)
+                meta = {**meta, "grad_norm": optax.global_norm(grads)}
             updates, opt_state = self.optimizer.update(grads, opt_state, diff)
             diff = optax.apply_updates(diff, updates)
             return (diff, opt_state, key), (loss, meta)

@@ -1,3 +1,4 @@
+from .closed_loop import ClosedLoopDriver
 from .core import Agent, RandomAgent, load_agent
 from .linear_feedback import PIDAgent
 from .sac import SAC, SACAgent
@@ -12,6 +13,7 @@ from .trajectory_opt import (
 )
 
 __all__ = [
+    "ClosedLoopDriver",
     "Agent",
     "RandomAgent",
     "load_agent",

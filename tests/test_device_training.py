@@ -241,3 +241,43 @@ class TestFusedSACUpdate:
         agent.set_state(state.replace(policy=new_policy))
         a1 = agent.act(obs, sample=False)
         assert not np.allclose(a0, a1)
+
+
+def test_mbpo_save_video_writes_eval_video(tmp_path):
+    """cfg.save_video=true must produce a per-epoch eval video artifact
+    (reference mbrl/algorithms/mbpo.py:137-147)."""
+    import pathlib
+    import sys
+
+    sys.path.insert(0, str(pathlib.Path(__file__).parent))
+    from test_algorithms import MockLineEnv, mock_term_fn
+
+    import mbrl_tpu.algorithms.mbpo as mbpo
+    from mbrl_tpu.config import load_config
+
+    class RenderableLineEnv(MockLineEnv):
+        render_mode = "rgb_array"
+
+        def render(self):
+            return np.zeros((8, 8, 3), np.uint8)
+
+    conf = pathlib.Path(__file__).parent.parent / "mbrl_tpu/examples/conf"
+    cfg = load_config(conf, "main", overrides=[
+        "algorithm=mbpo", "overrides=mbpo_cartpole", "save_video=true",
+        "overrides.num_steps=60", "overrides.epoch_length=30",
+        "algorithm.initial_exploration_steps=30",
+        "overrides.freq_train_model=30",
+        "overrides.effective_model_rollouts_per_step=2",
+        "overrides.num_sac_updates_per_step=1",
+        "overrides.num_epochs_train_model=1",
+        "dynamics_model.ensemble_size=2", "dynamics_model.hid_size=16",
+        "dynamics_model.num_layers=2",
+        "overrides.model_batch_size=16", "overrides.sac_batch_size=16",
+        "seed=0",
+    ])
+    mbpo.train(
+        RenderableLineEnv(), RenderableLineEnv(), mock_term_fn, cfg,
+        silent=True, work_dir=str(tmp_path),
+    )
+    videos = list((tmp_path / "video").glob("*"))
+    assert videos, "no eval video artifact written"
