@@ -85,32 +85,61 @@ class TrueDynamicsController:
             processes=num_workers, initializer=init_worker, initargs=(env_name, seed)
         )
 
-    def plan(self, current_state) -> np.ndarray:
-        """One CEM plan with every candidate evaluated on the real env."""
+        # ONE CEM implementation for the whole framework: the shared
+        # planning.CEMOptimizer update rule, with the real-env worker pool as a
+        # host objective behind jax.pure_callback (reference duplicated the CEM
+        # equations here, mbrl/diagnostics/control_env.py:38-61; drift risk).
+        import jax
+        import jax.numpy as jnp
+
+        from mbrl_tpu.planning import CEMOptimizer
+
+        lb = np.tile(self.action_lb, (horizon, 1)).tolist()
+        ub = np.tile(self.action_ub, (horizon, 1)).tolist()
+        self._cem = CEMOptimizer(
+            num_iterations=num_iterations,
+            elite_ratio=elite_ratio,
+            population_size=population_size,
+            lower_bound=lb,
+            upper_bound=ub,
+            alpha=alpha,
+            return_mean_elites=False,  # best-ever sequence, as before
+        )
+        self._current_state = None
+        self._key = jax.random.PRNGKey(seed)
         act_dim = self.action_lb.shape[0]
-        mu = np.tile((self.action_lb + self.action_ub) / 2, (self.horizon, 1))
-        var = np.tile(np.square(self.action_ub - self.action_lb) / 16, (self.horizon, 1))
-        best_seq, best_val = mu.copy(), -np.inf
-        for _ in range(self.num_iterations):
-            noise = self.rng.standard_normal((self.population_size, self.horizon, act_dim))
-            noise = np.clip(noise, -2, 2)
-            population = np.clip(
-                mu + noise * np.sqrt(var), self.action_lb, self.action_ub
-            )
-            values = np.asarray(
+        self._x0 = jnp.asarray(
+            np.tile((self.action_lb + self.action_ub) / 2, (horizon, 1)),
+            jnp.float32,
+        )
+
+        def _host_eval(pop: np.ndarray) -> np.ndarray:
+            pop = np.asarray(pop, np.float64)
+            return np.asarray(
                 self.pool.map(
                     evaluate_sequence_fn,
-                    [(seq, current_state) for seq in population],
-                )
+                    [(seq, self._current_state) for seq in pop],
+                ),
+                np.float32,
             )
-            elite_idx = np.argsort(values)[-self.elite_num :]
-            elite = population[elite_idx]
-            mu = self.alpha * mu + (1 - self.alpha) * elite.mean(axis=0)
-            var = self.alpha * var + (1 - self.alpha) * elite.var(axis=0)
-            if values[elite_idx[-1]] > best_val:
-                best_val = values[elite_idx[-1]]
-                best_seq = population[elite_idx[-1]]
-        return best_seq
+
+        def _objective(population, *args):
+            return jax.pure_callback(
+                _host_eval,
+                jax.ShapeDtypeStruct((population.shape[0],), jnp.float32),
+                population,
+            )
+
+        self._objective = _objective  # stable identity: one jit trace total
+
+    def plan(self, current_state) -> np.ndarray:
+        """One CEM plan with every candidate evaluated on the real env."""
+        import jax
+
+        self._current_state = current_state
+        self._key, k = jax.random.split(self._key)
+        sol, _ = self._cem.optimize(self._objective, self._x0, k)
+        return np.asarray(sol)
 
     def run_episode(self, max_steps: int = 200, verbose: bool = False) -> float:
         obs, _ = self.env.reset()

@@ -19,32 +19,82 @@ import yaml
 
 from mbrl_tpu.config import Config, to_dict
 
-_CARD_TEMPLATE = """---
-tags:
-- model-based-reinforcement-learning
-- mbrl-tpu
-- {algo}
-- {env}
-library_name: mbrl_tpu
----
-
-# {algo.upper} agent for {env}
-
-This is a trained model produced by **mbrl_tpu**, a TPU-native model-based
-reinforcement learning framework (JAX/XLA), with the capabilities of
-facebookresearch/mbrl-lib.
-
-- **Algorithm:** {algo}
-- **Environment:** {env}
-- **Mean reward:** {mean_reward:.2f} +/- {std_reward:.2f}
-
-## Usage
-
-```python
-from mbrl_tpu.util.huggingface import load_model_from_package
-payload = load_model_from_package("path/to/package")
-```
-"""
+def _render_card(
+    algo: str,
+    env_name: str,
+    mean_reward: float,
+    std_reward: float,
+    has_video: bool,
+    extra_metrics: Optional[dict] = None,
+) -> str:
+    """Model card with Hub `model-index` metadata (drives the leaderboard —
+    reference mbrl/util/huggingface.py:90-111 uses metadata_eval_result the same
+    way), a metrics table, and an embedded eval video when one was recorded."""
+    have_eval = mean_reward == mean_reward  # not NaN
+    reward_str = f"{mean_reward:.2f} +/- {std_reward:.2f}"
+    meta = [
+        "---",
+        "tags:",
+        "- model-based-reinforcement-learning",
+        "- reinforcement-learning",
+        "- mbrl-tpu",
+        f"- {algo}",
+        f"- {env_name}",
+        "library_name: mbrl_tpu",
+    ]
+    if have_eval:
+        meta += [
+            "model-index:",
+            f"- name: {algo}-{env_name}",
+            "  results:",
+            "  - task:",
+            "      type: reinforcement-learning",
+            "      name: reinforcement-learning",
+            "    dataset:",
+            f"      name: {env_name}",
+            f"      type: {env_name}",
+            "    metrics:",
+            "    - type: mean_reward",
+            f"      value: {reward_str}",
+            "      name: mean_reward",
+            "      verified: false",
+        ]
+    meta.append("---")
+    body = [
+        "",
+        f"# {algo.upper()} agent for {env_name}",
+        "",
+        "This is a trained model produced by **mbrl_tpu**, a TPU-native",
+        "model-based reinforcement learning framework (JAX/XLA) with the",
+        "capabilities of facebookresearch/mbrl-lib.",
+        "",
+        "| | |",
+        "|---|---|",
+        f"| Algorithm | {algo} |",
+        f"| Environment | {env_name} |",
+    ]
+    if have_eval:
+        body.append(f"| Mean reward (eval) | {reward_str} |")
+    for k, v in (extra_metrics or {}).items():
+        body.append(f"| {k} | {v} |")
+    if has_video:
+        body += [
+            "",
+            "## Replay",
+            "",
+            '<video src="replay.mp4" controls autoplay muted loop></video>',
+        ]
+    body += [
+        "",
+        "## Usage",
+        "",
+        "```python",
+        "from mbrl_tpu.util.huggingface import load_model_from_package",
+        'payload = load_model_from_package("path/to/package")',
+        "```",
+        "",
+    ]
+    return "\n".join(meta + body)
 
 
 def evaluate_agent(env, agent, num_episodes: int = 5, video_recorder=None):
@@ -104,8 +154,13 @@ def package_experiment(
         if video_recorder is not None:
             video_recorder.save("replay.mp4")
 
-    card = _CARD_TEMPLATE.replace("{algo.upper}", algo.upper()).format(
-        algo=algo, env=env_name, mean_reward=mean_reward, std_reward=std_reward
+    card = _render_card(
+        algo,
+        env_name,
+        mean_reward,
+        std_reward,
+        has_video=(output_dir / "video" / "replay.mp4").exists()
+        or (output_dir / "replay.mp4").exists(),
     )
     (output_dir / "README.md").write_text(card)
     (output_dir / "metadata.json").write_text(

@@ -185,3 +185,21 @@ def test_hf_evaluate_agent_and_video(tmp_path):
     rec = VideoRecorder(tmp_path)
     mean, std = evaluate_agent(env, RandomAgent(env), num_episodes=2, video_recorder=rec)
     assert np.isfinite(mean) and std >= 0
+
+
+def test_model_card_metadata_and_metrics(experiment_dir, tmp_path):
+    """The card must carry Hub model-index metadata + a metrics table when eval
+    stats exist, and embed the replay video when recorded (parity with
+    reference mbrl/util/huggingface.py:90-111)."""
+    from mbrl_tpu.util.huggingface import _render_card
+
+    card = _render_card("pets", "cartpole", 123.4, 5.6, has_video=True)
+    assert "model-index:" in card
+    assert "type: mean_reward" in card
+    assert "123.40 +/- 5.60" in card
+    assert "| Algorithm | pets |" in card
+    assert 'src="replay.mp4"' in card
+    # no-eval cards omit the model-index block but stay valid
+    card2 = _render_card("mbpo", "hopper", float("nan"), float("nan"), False)
+    assert "model-index:" not in card2
+    assert "replay.mp4" not in card2
