@@ -25,6 +25,7 @@ from mbrl_tpu.config import Config, complete_agent_cfg, instantiate
 from mbrl_tpu.envs.termination_fns import no_termination
 from mbrl_tpu.models import ModelEnv, ModelTrainer
 from mbrl_tpu.planning import RandomAgent, create_trajectory_optim_agent_for_model
+from mbrl_tpu.util import checkpoint as ckpt
 from mbrl_tpu.util import common as util_common
 from mbrl_tpu.util.logger import Logger
 
@@ -75,16 +76,26 @@ def train(
         collect_trajectories=True,
         rng=np_rng,
     )
-    util_common.rollout_agent_trajectories(
-        env,
-        cfg.algorithm.num_initial_trajectories,
-        RandomAgent(env),
-        agent_kwargs={},
-        replay_buffer=replay_buffer,
-        collect_full_trajectories=True,
-        trial_length=cfg.overrides.trial_length,
-        agent_uses_low_dim_obs=False,
-    )
+    # mid-run resume (PETS/MBPO-style full-state checkpoints; the reference has
+    # no mid-run resume at all, SURVEY.md §5.4)
+    resume_snap = None
+    if cfg.get("resume", False):
+        latest = ckpt.latest_checkpoint(work_dir)
+        if latest is not None:
+            resume_snap = ckpt.restore_checkpoint(latest)
+            replay_buffer.load(work_dir)
+            print(f"Resuming from {latest}; skipping initial exploration.")
+    if resume_snap is None:
+        util_common.rollout_agent_trajectories(
+            env,
+            cfg.algorithm.num_initial_trajectories,
+            RandomAgent(env),
+            agent_kwargs={},
+            replay_buffer=replay_buffer,
+            collect_full_trajectories=True,
+            trial_length=cfg.overrides.trial_length,
+            agent_uses_low_dim_obs=False,
+        )
 
     # PlaNet model
     cfg.dynamics_model["action_size"] = env.action_space.shape[0]
@@ -118,7 +129,17 @@ def train(
 
     step = replay_buffer.num_stored
     total_rewards = 0.0
-    for episode in range(cfg.algorithm.num_episodes):
+    start_episode = 0
+    if resume_snap is not None:
+        planet_state = resume_snap["planet_state"]
+        key = resume_snap["key"]
+        start_episode = int(resume_snap["episode"])
+        step = int(resume_snap["step"])
+        total_rewards = float(resume_snap["total_rewards"])
+        agent.set_eval_state(planet_state)
+        print(f"Resumed at episode {start_episode} (env step {step}).")
+    checkpoint_every = int(cfg.get("checkpoint_every", 0))
+    for episode in range(start_episode, cfg.algorithm.num_episodes):
         # --------------- train the RSSM ---------------
         dataset, _ = util_common.get_sequence_buffer_iterator(
             replay_buffer,
@@ -200,5 +221,18 @@ def train(
                     "env_step": step,
                 },
             )
+        if checkpoint_every and (episode + 1) % checkpoint_every == 0:
+            ckpt.save_checkpoint(
+                work_dir,
+                {
+                    "planet_state": planet_state,
+                    "key": key,
+                    "episode": episode + 1,
+                    "step": step,
+                    "total_rewards": total_rewards,
+                },
+                step=episode + 1,
+            )
+            replay_buffer.save(work_dir)
 
     return np.float32(total_rewards / cfg.algorithm.num_episodes)
