@@ -127,6 +127,34 @@ def train(
     def is_test_episode(episode):
         return episode % cfg.algorithm.test_frequency == 0
 
+    # fully on-device RSSM training: device-resident uint8 pixel dataset with
+    # window sampling INSIDE the jitted program. The host-iterator path stacks
+    # all num_grad_updates (B, L, C, H, W) batches on device up front (~12 GB at
+    # the reference config — past a v5e's HBM); here only the 1-byte/texel
+    # dataset plus one batch's float pixels are ever live.
+    device_training = cfg.algorithm.get("device_model_training", True)
+    obs_shape = env.observation_space.shape
+    device_dataset = None
+    if device_training:
+        from mbrl_tpu.util.device_buffer import DeviceTransitionDataset
+
+        device_dataset = DeviceTransitionDataset(
+            obs_shape,
+            env.action_space.shape[0],
+            obs_dtype=(np.uint8 if len(obs_shape) == 3 else np.float32),
+        )
+
+    def _valid_window_starts(seq_len: int) -> np.ndarray:
+        spans = replay_buffer.trajectory_indices or []
+        starts = [
+            np.arange(lo, hi - seq_len + 1, dtype=np.int32)
+            for lo, hi in spans
+            if hi - lo >= seq_len
+        ]
+        return (
+            np.concatenate(starts) if starts else np.zeros((0,), np.int32)
+        )
+
     step = replay_buffer.num_stored
     total_rewards = 0.0
     start_episode = 0
@@ -141,23 +169,37 @@ def train(
     checkpoint_every = int(cfg.get("checkpoint_every", 0))
     for episode in range(start_episode, cfg.algorithm.num_episodes):
         # --------------- train the RSSM ---------------
-        dataset, _ = util_common.get_sequence_buffer_iterator(
-            replay_buffer,
-            cfg.overrides.batch_size,
-            0,  # no validation data
-            cfg.overrides.sequence_length,
-            max_batches_per_loop_train=cfg.overrides.num_grad_updates,
-            use_simple_sampler=True,
-        )
         key, k_train = jax.random.split(key)
-        planet_state, _, _ = trainer.train(
-            planet_state,
-            dataset,
-            num_epochs=1,
-            batch_callback=batch_callback,
-            evaluate=False,
-            key=k_train,
-        )
+        if device_training:
+            device_dataset.sync_from(replay_buffer)
+            starts = _valid_window_starts(cfg.overrides.sequence_length)
+            planet_state, _ = trainer.train_device_sequences(
+                planet_state,
+                device_dataset,
+                starts,
+                num_updates=cfg.overrides.num_grad_updates,
+                batch_size=cfg.overrides.batch_size,
+                seq_len=cfg.overrides.sequence_length,
+                key=k_train,
+                batch_callback=batch_callback,
+            )
+        else:
+            dataset, _ = util_common.get_sequence_buffer_iterator(
+                replay_buffer,
+                cfg.overrides.batch_size,
+                0,  # no validation data
+                cfg.overrides.sequence_length,
+                max_batches_per_loop_train=cfg.overrides.num_grad_updates,
+                use_simple_sampler=True,
+            )
+            planet_state, _, _ = trainer.train(
+                planet_state,
+                dataset,
+                num_epochs=1,
+                batch_callback=batch_callback,
+                evaluate=False,
+                key=k_train,
+            )
         agent.set_eval_state(planet_state)
         planet.save(planet_state, work_dir)
         if cfg.overrides.get("save_replay_buffer", False):

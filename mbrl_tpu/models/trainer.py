@@ -602,6 +602,107 @@ class ModelTrainer:
         self._train_iteration += 1
         return new_state, list(map(float, losses)), [float(v.mean()) for v in vals]
 
+    # ------------------------------------------------------------------ #
+    # On-device SEQUENCE training (PlaNet): sample trajectory windows from a
+    # device-resident (uint8) pixel dataset inside the program. The host path
+    # stacks all `num_updates` (B, L, C, H, W) batches on device up front —
+    # ~12 GB at the reference PlaNet config, past a v5e's HBM — while here only
+    # the dataset (1 byte/texel) plus ONE batch's float pixels are ever live.
+    def _device_seq_program(
+        self,
+        params,
+        opt_state,
+        normalizer,
+        data,  # TransitionBatch, capacity rows (device, obs possibly uint8)
+        valid_starts,  # (n_starts,) int32 window-start row ids
+        n_starts,  # dynamic int32: valid prefix of valid_starts
+        key,
+        *,
+        num_updates: int,
+        batch_size: int,
+        seq_len: int,
+    ):
+        import jax.tree_util as jtu
+
+        diff0, static = self._split_params(params)
+        offsets = jnp.arange(seq_len, dtype=jnp.int32)
+
+        def step(carry, _):
+            diff, opt_state, key = carry
+            key, k_idx, k_loss = jax.random.split(key, 3)
+            pos = jax.random.randint(
+                k_idx, (batch_size,), 0, jnp.maximum(n_starts, 1)
+            )
+            starts = valid_starts[pos]  # (B,)
+            rows = starts[:, None] + offsets[None, :]  # (B, L)
+            batch = jtu.tree_map(lambda a: a[rows], data)
+            (loss, meta), grads = jax.value_and_grad(
+                self._loss_fn, has_aux=True
+            )(diff, static, normalizer, batch, k_loss)
+            if isinstance(meta, dict):
+                meta = {**meta, "grad_norm": optax.global_norm(grads)}
+            updates, opt_state = self.optimizer.update(grads, opt_state, diff)
+            diff = optax.apply_updates(diff, updates)
+            return (diff, opt_state, key), (loss, meta)
+
+        (diff, opt_state, _), (losses, metas) = jax.lax.scan(
+            step, (diff0, opt_state, key), None, length=num_updates
+        )
+        return combine_params(diff, static), opt_state, losses, metas
+
+    def train_device_sequences(
+        self,
+        state: Dict[str, Any],
+        dataset,  # util.device_buffer.DeviceTransitionDataset
+        valid_starts: np.ndarray,
+        *,
+        num_updates: int,
+        batch_size: int,
+        seq_len: int,
+        key=None,
+        batch_callback: Optional[Callable] = None,
+    ) -> Tuple[Dict[str, Any], List[float]]:
+        """PlaNet-style training: ``num_updates`` gradient steps on random
+        trajectory windows, ONE dispatch, windows gathered on device."""
+        if key is None:
+            key = jax.random.PRNGKey(self._train_iteration)
+        params = state["params"]
+        normalizer = state.get("normalizer", None)
+        opt_state = self.optimizer.init(self._split_params(params)[0])
+
+        # static-shape starts buffer: bucket to 4096 multiples, cycle-pad
+        n_starts = int(len(valid_starts))
+        bucket = max(4096, -(-n_starts // 4096) * 4096)
+        padded = np.asarray(valid_starts, np.int32)[
+            np.arange(bucket) % max(n_starts, 1)
+        ]
+
+        if not hasattr(self, "_jit_device_seq"):
+            self._jit_device_seq = jax.jit(
+                self._device_seq_program,
+                static_argnames=("num_updates", "batch_size", "seq_len"),
+            )
+        new_params, _, losses, metas = self._jit_device_seq(
+            params,
+            opt_state,
+            normalizer,
+            dataset.data,
+            jnp.asarray(padded),
+            n_starts,
+            key,
+            num_updates=num_updates,
+            batch_size=batch_size,
+            seq_len=seq_len,
+        )
+        if batch_callback is not None:
+            host_losses = np.asarray(losses)
+            host_metas = jax.device_get(metas)
+            for i in range(len(host_losses)):
+                meta_i = jax.tree_util.tree_map(lambda m: m[i], host_metas)
+                batch_callback(0, float(host_losses[i]), meta_i, "train")
+        self._train_iteration += 1
+        return {**state, "params": new_params}, list(map(float, np.asarray(losses)))
+
     def _get_device_train_jit(self):
         if not hasattr(self, "_jit_device_train"):
             self._jit_device_train = jax.jit(

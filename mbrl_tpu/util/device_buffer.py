@@ -183,10 +183,17 @@ class DeviceTransitionDataset:
     every retrain.
     """
 
-    def __init__(self, obs_dim: int, act_dim: int, min_capacity: int = 4096,
-                 growth: float = 1.25):
+    def __init__(self, obs_dim, act_dim: int, min_capacity: int = 4096,
+                 growth: float = 1.25, obs_dtype=jnp.float32):
+        # obs_dim: feature count for 1-D observations, or a full obs shape
+        # tuple (e.g. pixel (C, H, W)); obs_dtype uint8 keeps pixel datasets at
+        # 1 byte/texel on device (PlaNet's quantized frames)
+        self.obs_shape = (
+            tuple(obs_dim) if isinstance(obs_dim, (tuple, list)) else (int(obs_dim),)
+        )
         self.obs_dim = obs_dim
         self.act_dim = act_dim
+        self.obs_dtype = obs_dtype
         self.min_capacity = min_capacity
         self.growth = growth
         self.capacity = 0
@@ -202,13 +209,13 @@ class DeviceTransitionDataset:
     def _alloc(self, capacity: int):
         from mbrl_tpu.types import TransitionBatch
 
-        z = lambda *shape: jnp.zeros(shape, jnp.float32)
+        z = lambda shape, dt=jnp.float32: jnp.zeros(shape, dt)
         old, old_n = self.data, self.num_stored
         self.data = TransitionBatch(
-            obs=z(capacity, self.obs_dim),
-            act=z(capacity, self.act_dim),
-            next_obs=z(capacity, self.obs_dim),
-            rewards=z(capacity),
+            obs=z((capacity, *self.obs_shape), self.obs_dtype),
+            act=z((capacity, self.act_dim)),
+            next_obs=z((capacity, *self.obs_shape), self.obs_dtype),
+            rewards=z((capacity,)),
             terminateds=jnp.zeros((capacity,), bool),
             truncateds=jnp.zeros((capacity,), bool),
         )

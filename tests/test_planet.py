@@ -218,3 +218,49 @@ def test_planet_visualizer_smoke(tmp_path):
     vis.run()
     outputs = list((tmp_path / "diagnostics").iterdir())
     assert outputs, "expected a visualization artifact"
+
+
+def test_device_sequence_training_reduces_loss():
+    """train_device_sequences: windows gathered on device from a uint8 pixel
+    dataset; loss decreases over updates and no window crosses trajectories."""
+    import gymnasium as gym
+
+    from mbrl_tpu.models import ModelTrainer
+    from mbrl_tpu.util.device_buffer import DeviceTransitionDataset
+    from mbrl_tpu.util.replay_buffer import ReplayBuffer
+
+    planet = _planet()
+    state = planet.init(jax.random.PRNGKey(0))
+    L = 5
+    rb = ReplayBuffer(
+        1000, OBS_SHAPE, (ACT,), obs_type=np.uint8,
+        max_trajectory_length=12, rng=np.random.default_rng(0),
+    )
+    env = MockPixelEnv()
+    for _ in range(4):  # 4 trajectories of 10 steps
+        obs, _ = env.reset()
+        done = trunc = False
+        while not (done or trunc):
+            act = env.action_space.sample()
+            next_obs, r, done, trunc, _ = env.step(act)
+            rb.add(obs, act, next_obs, r, done, trunc)
+            obs = next_obs
+    ds = DeviceTransitionDataset(OBS_SHAPE, ACT, obs_dtype=np.uint8, min_capacity=256)
+    ds.sync_from(rb)
+    assert ds.data.obs.dtype == np.uint8
+
+    spans = rb.trajectory_indices
+    starts = np.concatenate(
+        [np.arange(lo, hi - L + 1, dtype=np.int32) for lo, hi in spans if hi - lo >= L]
+    )
+    # validity: every window fits inside one trajectory
+    for s in starts:
+        assert any(lo <= s and s + L <= hi for lo, hi in spans)
+
+    trainer = ModelTrainer(planet, optim_lr=1e-3)
+    new_state, losses = trainer.train_device_sequences(
+        state, ds, starts, num_updates=12, batch_size=8, seq_len=L,
+        key=jax.random.PRNGKey(0),
+    )
+    assert len(losses) == 12
+    assert losses[-1] < losses[0]
