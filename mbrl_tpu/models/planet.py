@@ -103,6 +103,7 @@ class PlaNetModel:
         free_nats: float = 3.0,
         kl_scale: float = 1.0,
         grad_clip_norm: float = 1000.0,
+        matmul_precision: str = "highest",
     ):
         self.obs_shape = tuple(obs_shape)
         self.latent_state_size = latent_state_size
@@ -113,6 +114,13 @@ class PlaNetModel:
         self.free_nats = free_nats
         self.kl_scale = kl_scale
         self.grad_clip_norm = grad_clip_norm
+        # On TPU, f32 matmuls/convs default to one bf16 pass. The round-2 on-chip
+        # RSSM training diverged to NaN within the first episodes under that
+        # default while the identical program is stable on CPU (f32), so the
+        # RSSM compute path pins full-f32 matmul precision. The RSSM's matmuls
+        # are narrow (belief/hidden 200) — the extra passes are noise next to the
+        # conv encoder/decoder, and stability is worth far more than the delta.
+        self.matmul_precision = matmul_precision
         self.num_elites = 1
         self.stochastic_loss = True  # trainer threads PRNG keys into loss()
 
@@ -201,12 +209,17 @@ class PlaNetModel:
     # ------------------------------------------------------------------ #
     # Training forward / loss
     # ------------------------------------------------------------------ #
-    def unroll(self, params, next_obs, action, key):
+    def _prec(self):
+        """Trace-time matmul/conv precision pin for the RSSM compute path."""
+        return jax.default_matmul_precision(self.matmul_precision)
+
+    def unroll(self, params, next_obs, action, key, deterministic: bool = False):
         """Scan the RSSM over a trajectory.
 
         next_obs: (B, L, C, H, W) already pixel-processed; action: (B, L, A).
         Returns dict of (B, L, ...) stacks: prior/posterior (mean, std, sample),
-        beliefs, reconstructions, predicted rewards.
+        beliefs, reconstructions, predicted rewards. ``deterministic=True``
+        propagates posterior/prior means instead of samples (evaluation).
         """
         batch_size, length = next_obs.shape[:2]
         obs_t = jnp.swapaxes(next_obs, 0, 1)  # (L, B, C, H, W)
@@ -221,13 +234,17 @@ class PlaNetModel:
             next_belief = self._belief(params, latent, act, belief)
             enc = self.encoder.apply(params["encoder"], obs)
             post_mean, post_std = self._posterior(params, next_belief, enc)
-            post_sample = post_mean + post_std * jax.random.normal(
-                k_post, post_mean.shape
-            )
             prior_mean, prior_std = self._prior(params, next_belief)
-            prior_sample = prior_mean + prior_std * jax.random.normal(
-                k_prior, prior_mean.shape
-            )
+            if deterministic:
+                post_sample = post_mean
+                prior_sample = prior_mean
+            else:
+                post_sample = post_mean + post_std * jax.random.normal(
+                    k_post, post_mean.shape
+                )
+                prior_sample = prior_mean + prior_std * jax.random.normal(
+                    k_prior, prior_mean.shape
+                )
             recon = decode(params, post_sample, next_belief)
             reward = self._reward(params, next_belief, post_sample)[..., 0]
             out = {
@@ -245,7 +262,8 @@ class PlaNetModel:
 
         latent0 = jnp.zeros((batch_size, self.latent_state_size))
         belief0 = jnp.zeros((batch_size, self.belief_size))
-        _, outs = jax.lax.scan(step, (latent0, belief0, key), (obs_t, act_t))
+        with self._prec():
+            _, outs = jax.lax.scan(step, (latent0, belief0, key), (obs_t, act_t))
         # back to batch-major
         return jax.tree_util.tree_map(lambda x: jnp.swapaxes(x, 0, 1), outs)
 
@@ -254,27 +272,12 @@ class PlaNetModel:
     ) -> Tuple[jax.Array, Dict[str, Any]]:
         """obs recon MSE (summed over CHW) + reward MSE + kl_scale * KL(q||p) with
         free-nats clamp; means over batch and time."""
-        params = state["params"]
         if key is None:
             key = jax.random.PRNGKey(0)
-        obs = self._process_pixel_obs(jnp.asarray(batch.obs))
-        action = jnp.asarray(batch.act, jnp.float32)
-        rewards = jnp.asarray(batch.rewards, jnp.float32)
-
-        outs = self.unroll(params, obs[:, 1:], action[:, :-1], key)
-
-        obs_loss = jnp.square(outs["recon"] - obs[:, 1:]).sum(axis=(2, 3, 4)).mean()
-        reward_loss = jnp.square(outs["reward"] - rewards[:, :-1]).mean()
-        # KL(N(post) || N(prior)) summed over latent dim, clamped at free nats
-        p_mean, p_std = outs["prior_mean"], outs["prior_std"]
-        q_mean, q_std = outs["post_mean"], outs["post_std"]
-        kl = (
-            jnp.log(p_std / q_std)
-            + (jnp.square(q_std) + jnp.square(q_mean - p_mean)) / (2 * jnp.square(p_std))
-            - 0.5
-        ).sum(axis=-1)
-        kl_loss = jnp.maximum(kl, self.free_nats).mean()
-
+        obs_l, rew_l, kl_l = self._per_sequence_losses(
+            state, batch, key, deterministic=False
+        )
+        obs_loss, reward_loss, kl_loss = obs_l.mean(), rew_l.mean(), kl_l.mean()
         total = obs_loss + reward_loss + self.kl_scale * kl_loss
         meta = {
             "observations_loss": obs_loss,
@@ -283,9 +286,45 @@ class PlaNetModel:
         }
         return total, meta
 
+    def _per_sequence_losses(self, state, batch: TransitionBatch, key, deterministic):
+        """Per-sequence (B,) recon / reward / free-nats-KL components."""
+        params = state["params"]
+        obs = self._process_pixel_obs(jnp.asarray(batch.obs))
+        action = jnp.asarray(batch.act, jnp.float32)
+        rewards = jnp.asarray(batch.rewards, jnp.float32)
+
+        outs = self.unroll(
+            params, obs[:, 1:], action[:, :-1], key, deterministic=deterministic
+        )
+        obs_l = jnp.square(outs["recon"] - obs[:, 1:]).sum(axis=(2, 3, 4)).mean(axis=1)
+        rew_l = jnp.square(outs["reward"] - rewards[:, :-1]).mean(axis=1)
+        # KL(N(post) || N(prior)) summed over latent dim, clamped at free nats
+        p_mean, p_std = outs["prior_mean"], outs["prior_std"]
+        q_mean, q_std = outs["post_mean"], outs["post_std"]
+        kl = (
+            jnp.log(p_std / q_std)
+            + (jnp.square(q_std) + jnp.square(q_mean - p_mean)) / (2 * jnp.square(p_std))
+            - 0.5
+        ).sum(axis=-1)
+        kl_l = jnp.maximum(kl, self.free_nats).mean(axis=1)
+        return obs_l, rew_l, kl_l
+
     def eval_score(self, state: Dict[str, Any], batch: TransitionBatch):
-        loss, meta = self.loss(state, batch)
-        return loss[None, None, None], meta
+        """Per-held-out-sequence validation score (1, B, 1): deterministic
+        (mean-propagated) recon + reward + KL loss per window — a real score
+        that tracks training, unlike round 1/2's reshaped training loss (the
+        reference trains PlaNet without validation; this follows ModelTrainer's
+        eval contract so `evaluate=True` is meaningful for RSSMs too)."""
+        obs_l, rew_l, kl_l = self._per_sequence_losses(
+            state, batch, key=jax.random.PRNGKey(0), deterministic=True
+        )
+        per_seq = obs_l + rew_l + self.kl_scale * kl_l
+        meta = {
+            "observations_loss": obs_l.mean(),
+            "reward_loss": rew_l.mean(),
+            "kl_loss": kl_l.mean(),
+        }
+        return per_seq[None, :, None], meta
 
     # ------------------------------------------------------------------ #
     # Acting: posterior tracking + prior sampling (ModelEnv protocol)
@@ -311,9 +350,10 @@ class PlaNetModel:
             action = jnp.asarray(action, jnp.float32).reshape(1, -1)
             latent = state["posterior"]["latent"]
             belief = state["posterior"]["belief"]
-        next_belief = self._belief(params, latent, action, belief)
-        enc = self.encoder.apply(params["encoder"], obs)
-        post_mean, post_std = self._posterior(params, next_belief, enc)
+        with self._prec():
+            next_belief = self._belief(params, latent, action, belief)
+            enc = self.encoder.apply(params["encoder"], obs)
+            post_mean, post_std = self._posterior(params, next_belief, enc)
         sample = post_mean + post_std * jax.random.normal(key, post_mean.shape)
         return {**state, "posterior": {"latent": sample, "belief": next_belief}}
 
@@ -349,17 +389,18 @@ class PlaNetModel:
     ):
         """One prior-transition step in latent space: (s, h, a) -> (s', r', h')."""
         params = state["params"]
-        next_belief = self._belief(
-            params, model_state["latent"], act, model_state["belief"]
-        )
-        prior_mean, prior_std = self._prior(params, next_belief)
-        if deterministic:
-            next_latent = prior_mean
-        else:
-            next_latent = prior_mean + prior_std * jax.random.normal(
-                key, prior_mean.shape
+        with self._prec():
+            next_belief = self._belief(
+                params, model_state["latent"], act, model_state["belief"]
             )
-        reward = self._reward(params, next_belief, next_latent)
+            prior_mean, prior_std = self._prior(params, next_belief)
+            if deterministic:
+                next_latent = prior_mean
+            else:
+                next_latent = prior_mean + prior_std * jax.random.normal(
+                    key, prior_mean.shape
+                )
+            reward = self._reward(params, next_belief, next_latent)
         return next_latent, reward, {"latent": next_latent, "belief": next_belief}
 
     def render(self, state: Dict[str, Any], latent: jax.Array, belief: jax.Array) -> np.ndarray:

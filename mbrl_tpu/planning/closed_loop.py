@@ -51,7 +51,7 @@ class ClosedLoopDriver:
         self.sample_env_step = sample_env_step
         self._run = jax.jit(self._run_impl, static_argnames=("num_steps",))
 
-    def _plan(self, state, obs, x0, key):
+    def _plan(self, state, obs, x0, opt_state, key):
         k_opt, k_obj = jax.random.split(key)
 
         def obj(population, st, o, k):
@@ -59,12 +59,11 @@ class ClosedLoopDriver:
                 st, population, o, k, num_particles=self.num_particles
             )
 
-        sol = self.optimizer._optimize_impl(
-            obj, x0, k_opt, obj_args=(state, obs, k_obj)
+        # uniform traced protocol (solution, new_opt_state): CEM is stateless,
+        # iCEM threads its kept-elite set, MPPI its persistent shifted mean
+        return self.optimizer.optimize_traced(
+            obj, x0, k_opt, opt_state, obj_args=(state, obs, k_obj)
         )
-        if isinstance(sol, tuple):  # optimizers returning (solution, opt_state)
-            sol = sol[0]
-        return sol
 
     def _run_impl(
         self,
@@ -90,13 +89,17 @@ class ClosedLoopDriver:
         env_state = self.act_env.reset(act_state, obs_rows, k_reset)
 
         def step(carry, _):
-            obs_rows, env_state, prev_sol, key = carry
+            obs_rows, env_state, prev_sol, opt_state, key = carry
             key, k_plan, k_step = jax.random.split(key, 3)
-            # warm start: shift the previous solution left one step, zero tail
+            # warm start: shift the previous solution left one step, zero tail.
+            # (MPPI ignores x0 — it shifts its own persistent mean inside
+            # optimize_traced, so there is no double shift.)
             x0 = jnp.concatenate(
                 [prev_sol[1:], jnp.zeros((1, self.act_dim), prev_sol.dtype)]
             )
-            sol = self._plan(plan_state, obs_rows[0], x0, k_plan)
+            sol, opt_state = self._plan(
+                plan_state, obs_rows[0], x0, opt_state, k_plan
+            )
             action = jnp.broadcast_to(sol[0], (n_rows, self.act_dim))
             next_obs, rewards, terminated, env_state = self.act_env._step_impl(
                 act_state, action, env_state, k_step, sample=self.sample_env_step
@@ -107,15 +110,16 @@ class ClosedLoopDriver:
                 jnp.reshape(rewards, (-1,))[0],
                 jnp.reshape(terminated, (-1,))[0],
             )
-            return (next_obs, env_state, sol, key), out
+            return (next_obs, env_state, sol, opt_state, key), out
 
         init = (
             obs_rows,
             env_state,
             jnp.zeros((self.horizon, self.act_dim), jnp.float32),
+            self.optimizer.init_state(),
             key,
         )
-        (_, _, _, _), (obs_traj, actions, rewards, terminateds) = jax.lax.scan(
+        _, (obs_traj, actions, rewards, terminateds) = jax.lax.scan(
             step, init, None, length=num_steps
         )
         return obs_traj, actions, rewards, terminateds

@@ -264,11 +264,33 @@ class DeviceTransitionDataset:
         two contiguous overwritten slices of the ring)."""
         n, cur = replay_buffer.num_stored, int(replay_buffer.cur_idx)
         prev_cur = getattr(self, "_last_cur", 0)
+        total = getattr(replay_buffer, "total_added", None)
+        prev_total = getattr(self, "_last_total", 0)
         if n < self.num_stored:  # host buffer was reset/reloaded: mirror afresh
             self.capacity = 0
             self.num_stored = 0
             self.data = None
             prev_cur = 0
+        elif (
+            total is not None
+            and self.num_stored
+            and total - prev_total >= replay_buffer.num_stored
+            and not (n > self.num_stored and cur == n)
+        ):
+            # a full buffer's worth (or more) of writes landed since the last
+            # sync AND the ring wrapped: the [cur, prev_cur) region the
+            # incremental path would skip was overwritten too — or cur lapped
+            # back to prev_cur exactly, which the "nothing new" shortcut would
+            # silently treat as stale. Re-mirror everything (ADVICE r2:
+            # silent-data-corruption guard).
+            self._last_total = total
+            self._last_cur = cur
+            if n > self.num_stored:
+                self.append(replay_buffer.get_range(self.num_stored, n))
+            self.overwrite(0, replay_buffer.get_range(0, n))
+            return
+        if total is not None:
+            self._last_total = total
         if n > self.num_stored and cur == n:
             # un-wrapped ring: new rows are a pure tail append
             self.append(replay_buffer.get_range(self.num_stored, n))

@@ -65,6 +65,9 @@ class ReplayBuffer:
         self.capacity = capacity
         self.cur_idx = 0
         self.num_stored = 0
+        # monotone lifetime write counter (never wraps): lets device mirrors
+        # detect how many rows landed since their last sync
+        self.total_added = 0
         self._rng = rng if rng is not None else np.random.default_rng()
 
         self.trajectory_indices: Optional[List[Tuple[int, int]]] = None
@@ -86,6 +89,7 @@ class ReplayBuffer:
     # ------------------------------------------------------------------ #
     def add(self, obs, action, next_obs, reward, terminated, truncated) -> None:
         """Store one transition; advances the ring (with trajectory bookkeeping)."""
+        self.total_added += 1
         i = self.cur_idx
         self.obs[i] = obs
         self.action[i] = action
@@ -150,6 +154,7 @@ class ReplayBuffer:
         """Bulk store a batch of transitions with ring wraparound (no trajectory
         tracking — matches the reference, which only tracks trajectories via add())."""
         n = len(obs)
+        self.total_added += n
         start = self.cur_idx
         first = min(n, self.capacity - start)
 
@@ -244,6 +249,7 @@ class ReplayBuffer:
         self.truncated[:n] = data["truncated"]
         self.num_stored = n
         self.cur_idx = n % self.capacity
+        self.total_added = n
         if "trajectory_indices" in data and len(data["trajectory_indices"]):
             self.trajectory_indices = [tuple(t) for t in data["trajectory_indices"]]
 

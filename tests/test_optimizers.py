@@ -164,21 +164,13 @@ def test_trajectory_optimizer_agent_caching():
         return -jnp.square(action_sequences - 0.25).sum(axis=(1, 2))
 
     agent.set_trajectory_eval_fn(eval_fn)
-    # count actual planner invocations (jit means eval_fn itself only runs at trace)
-    calls = {"n": 0}
-    orig_optimize = agent.optimizer.optimize
-
-    def counting_optimize(*args, **kwargs):
-        calls["n"] += 1
-        return orig_optimize(*args, **kwargs)
-
-    agent.optimizer.optimize = counting_optimize
+    # count actual planner invocations via the fused-dispatch plan counter
     obs = np.zeros(2, np.float32)
     a1 = agent.act(obs)
     a2 = agent.act(obs)  # cached, no new plan
-    assert calls["n"] == 1
+    assert agent._act_counter == 1
     a3 = agent.act(obs)  # replan
-    assert calls["n"] == 2
+    assert agent._act_counter == 2
     assert a1.shape == (1,)
     np.testing.assert_allclose(a1, 0.25, atol=0.15)
 

@@ -107,6 +107,7 @@ def test_planet_training_reduces_loss():
             state, stacked, num_epochs=1, evaluate=False, key=jax.random.PRNGKey(i)
         )
         losses.extend(ls)
+    assert np.isfinite(losses).all(), losses
     assert losses[-1] < losses[0], losses
 
 
@@ -237,6 +238,7 @@ def test_device_sequence_training_reduces_loss():
         max_trajectory_length=12, rng=np.random.default_rng(0),
     )
     env = MockPixelEnv()
+    env.action_space.seed(0)
     for _ in range(4):  # 4 trajectories of 10 steps
         obs, _ = env.reset()
         done = trunc = False
@@ -259,8 +261,14 @@ def test_device_sequence_training_reduces_loss():
 
     trainer = ModelTrainer(planet, optim_lr=1e-3)
     new_state, losses = trainer.train_device_sequences(
-        state, ds, starts, num_updates=12, batch_size=8, seq_len=L,
+        state, ds, starts, num_updates=24, batch_size=8, seq_len=L,
         key=jax.random.PRNGKey(0),
     )
-    assert len(losses) == 12
-    assert losses[-1] < losses[0]
+    assert len(losses) == 24
+    assert np.isfinite(losses).all()
+    # single-batch losses are noisy; compare leading/trailing means
+    assert np.mean(losses[-6:]) < np.mean(losses[:6])
+    # Adam moments persist across calls (reference model_trainer.py:63-68)
+    assert "opt_state" in new_state
+    leaves = jax.tree_util.tree_leaves(new_state["params"])
+    assert all(bool(jnp.isfinite(l).all()) for l in leaves)
