@@ -221,6 +221,13 @@ def train(
         cfg, obs_shape, act_shape, rng=rng,
         obs_type=dtype, action_type=dtype, reward_type=dtype,
     )
+    # optional multi-host/batched env collection: this process's slice of the
+    # global worker pool (parallel/distributed_collect.py); None -> reference
+    # single-env semantics
+    from mbrl_tpu.parallel.distributed_collect import maybe_make_collector
+
+    collector = maybe_make_collector(cfg, seed=(cfg.seed or 0) + 100)
+
     resume_snap = None
     if cfg.get("resume", False):
         latest = ckpt.latest_checkpoint(work_dir)
@@ -230,13 +237,21 @@ def train(
             print(f"Resuming from {latest}; skipping initial exploration.")
     if resume_snap is None:
         random_explore = cfg.algorithm.random_initial_explore
-        util_common.rollout_agent_trajectories(
-            env,
-            cfg.algorithm.initial_exploration_steps,
-            RandomAgent(env) if random_explore else agent,
-            {} if random_explore else {"sample": True, "batched": False},
-            replay_buffer=replay_buffer,
-        )
+        if collector is not None and random_explore:
+            collector.collect_random(
+                env.action_space,
+                -(-cfg.algorithm.initial_exploration_steps
+                  // collector.num_local_workers),
+                replay_buffer=replay_buffer,
+            )
+        else:
+            util_common.rollout_agent_trajectories(
+                env,
+                cfg.algorithm.initial_exploration_steps,
+                RandomAgent(env) if random_explore else agent,
+                {} if random_explore else {"sample": True, "batched": False},
+                replay_buffer=replay_buffer,
+            )
 
     # optional mesh sharding from the `parallel:` config group: ensemble params
     # over the model axis, imagined-rollout particles + training rows over the
@@ -339,18 +354,40 @@ def train(
 
         obs = None
         terminated = truncated = False
-        for steps_epoch in range(cfg.overrides.epoch_length):
-            if steps_epoch == 0 or terminated or truncated:
-                obs, _ = env.reset()
-                terminated = truncated = False
-            next_obs, reward, terminated, truncated, _ = (
-                util_common.step_env_and_add_to_buffer(
-                    env, obs, agent, {"sample": True}, replay_buffer
+        steps_epoch = 0
+        while steps_epoch < cfg.overrides.epoch_length:
+            if collector is None:
+                if steps_epoch == 0 or terminated or truncated:
+                    obs, _ = env.reset()
+                    terminated = truncated = False
+                next_obs, reward, terminated, truncated, _ = (
+                    util_common.step_env_and_add_to_buffer(
+                        env, obs, agent, {"sample": True}, replay_buffer
+                    )
                 )
-            )
+                step_delta = 1
+            else:
+                # batched collection: one policy dispatch steps this process's
+                # whole worker slice; transitions land in the local shard
+                w_actions = np.atleast_2d(
+                    np.asarray(
+                        agent.act(collector.current_obs, sample=True, batched=True)
+                    )
+                )
+                w_obs, w_next, w_rew, w_term, w_trunc = collector.step(w_actions)
+                replay_buffer.add_batch(
+                    w_obs, w_actions, w_next, w_rew, w_term, w_trunc
+                )
+                next_obs = None
+                step_delta = collector.num_local_workers
+
+            def _crosses(freq: int) -> bool:
+                # cadence check that stays correct when a batched step advances
+                # env_steps by more than 1
+                return (env_steps + step_delta) // freq > env_steps // freq
 
             # --------------- model training + imagined rollouts ---------------
-            if (env_steps + 1) % cfg.overrides.freq_train_model == 0:
+            if _crosses(cfg.overrides.freq_train_model):
                 if device_training:
                     model_state = dynamics_model.update_normalizer_host(
                         model_state, replay_buffer.get_all()
@@ -404,7 +441,7 @@ def train(
                         jnp.asarray(all_real.rewards, jnp.float32).reshape(-1, 1),
                         1.0 - jnp.asarray(all_real.terminateds, jnp.float32).reshape(-1, 1),
                     )
-                if checkpoint_every and (env_steps + 1) % checkpoint_every == 0:
+                if checkpoint_every and _crosses(checkpoint_every):
                     ckpt.save_checkpoint(
                         work_dir,
                         {
@@ -435,7 +472,7 @@ def train(
             enough_data = sac_buf_known_min >= sac_batch_size
             if (
                 num_sac_updates > 0
-                and (env_steps + 1) % cfg.overrides.sac_updates_every_steps == 0
+                and _crosses(cfg.overrides.sac_updates_every_steps)
                 and enough_data
             ):
                 if real_ratio > 0 and real_snapshot is not None:
@@ -470,7 +507,7 @@ def train(
                     logger.dump(updates_made, save=True)
 
             # --------------- epoch end: evaluate + checkpoint ---------------
-            if (env_steps + 1) % cfg.overrides.epoch_length == 0:
+            if _crosses(cfg.overrides.epoch_length):
                 avg_reward = evaluate(
                     test_env, agent, cfg.algorithm.num_eval_episodes,
                     video_recorder=video_recorder,
@@ -494,6 +531,9 @@ def train(
                     )
                 epoch += 1
 
-            env_steps += 1
+            env_steps += step_delta
+            steps_epoch += step_delta
             obs = next_obs
+    if collector is not None:
+        collector.close()
     return np.float32(best_eval_reward)

@@ -337,11 +337,15 @@ class PlaNetModel:
         key: Optional[jax.Array] = None,
     ) -> Dict[str, Any]:
         """Condition the tracked (s, h) on a new observation (and the action that
-        produced it); action None resets to zeros (episode start)."""
-        params = state["params"]
+        produced it); action None resets to zeros (episode start).
+
+        The whole conditioning step (pixel preprocess, belief GRU, encoder,
+        posterior head, sample) is ONE jitted program — it runs once per real
+        env step, and eager op-by-op dispatch over a remote-device link would
+        cost ~15 round trips per step."""
         if key is None:
             key = jax.random.PRNGKey(0)
-        obs = self._process_pixel_obs(jnp.asarray(obs))[None]  # (1, C, H, W)
+        obs = jnp.asarray(obs)[None]  # (1, C, H, W), raw pixels
         if action is None:
             latent = jnp.zeros((1, self.latent_state_size))
             belief = jnp.zeros((1, self.belief_size))
@@ -350,12 +354,21 @@ class PlaNetModel:
             action = jnp.asarray(action, jnp.float32).reshape(1, -1)
             latent = state["posterior"]["latent"]
             belief = state["posterior"]["belief"]
+        if not hasattr(self, "_jit_posterior_step"):
+            self._jit_posterior_step = jax.jit(self._posterior_step_core)
+        sample, next_belief = self._jit_posterior_step(
+            state["params"], latent, belief, obs, action, key
+        )
+        return {**state, "posterior": {"latent": sample, "belief": next_belief}}
+
+    def _posterior_step_core(self, params, latent, belief, obs, action, key):
+        obs = self._process_pixel_obs(obs)
         with self._prec():
             next_belief = self._belief(params, latent, action, belief)
             enc = self.encoder.apply(params["encoder"], obs)
             post_mean, post_std = self._posterior(params, next_belief, enc)
         sample = post_mean + post_std * jax.random.normal(key, post_mean.shape)
-        return {**state, "posterior": {"latent": sample, "belief": next_belief}}
+        return sample, next_belief
 
     def reset_posterior(self, state: Dict[str, Any]) -> Dict[str, Any]:
         return {

@@ -11,6 +11,7 @@ import os
 import pathlib
 import sys
 
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 os.environ.setdefault("MUJOCO_GL", "egl")
 
 import jax
@@ -24,7 +25,7 @@ from mbrl_tpu.config import load_config, to_dict
 from mbrl_tpu.util.env import create_handler
 
 REPO = pathlib.Path(__file__).resolve().parent.parent
-WORK_DIR = REPO / "exp" / "planet_cartpole_northstar"
+WORK_DIR = REPO / "exp" / os.environ.get("PLANET_WORK_DIR", "planet_cartpole_northstar")
 
 
 def main() -> None:
@@ -32,7 +33,7 @@ def main() -> None:
         "algorithm=planet",
         "dynamics_model=planet",
         "overrides=planet_cartpole_balance",
-        "debug_mode=true",
+        "debug_mode=false",
         "checkpoint_every=1",
         "resume=true",
         "seed=0",

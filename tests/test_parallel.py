@@ -239,6 +239,72 @@ def test_local_worker_slice_partition():
     assert list(local_worker_slice(5)) == [0, 1, 2, 3, 4]
 
 
+def test_distributed_collector_slice_to_pool(tmp_path):
+    """DistributedCollector consumes local_worker_slice to size its pool and
+    collects into the local buffer shard (the round-2 gap: the slice function
+    was consumed by no collection path)."""
+    from mbrl_tpu.parallel.distributed_collect import DistributedCollector
+    from mbrl_tpu.util.replay_buffer import ReplayBuffer
+
+    def ctor():
+        from tests.test_algorithms import MockLineEnv
+
+        return MockLineEnv()
+
+    col = DistributedCollector(ctor, num_workers_total=3, seed=5)
+    try:
+        assert col.num_local_workers == 3  # single process owns the whole pool
+        assert list(col.worker_ids) == [0, 1, 2]
+        buf = ReplayBuffer(128, (2,), (1,), rng=np.random.default_rng(0))
+        env0 = ctor()
+        col.collect_random(env0.action_space, 10, replay_buffer=buf)
+        assert buf.num_stored == 30  # 10 batched steps x 3 workers
+        batch = buf.get_all()
+        assert np.isfinite(batch.obs).all()
+    finally:
+        col.close()
+
+
+def test_mbpo_with_env_workers(tmp_path):
+    """MBPO end-to-end with overrides.num_env_workers: batched collection path
+    (pool stepping + batched cadence checks) trains and evaluates."""
+    import mbrl_tpu.algorithms.mbpo as mbpo
+    from mbrl_tpu.config import load_config
+    from tests.test_algorithms import MockLineEnv, mock_term_fn, _CONF_DIR
+
+    cfg = load_config(_CONF_DIR, "main", overrides=[
+        "algorithm=mbpo", "overrides=mbpo_halfcheetah",
+        "overrides.env=mock", "overrides.num_env_workers=2",
+        "overrides.num_steps=120", "overrides.epoch_length=60",
+        "overrides.freq_train_model=30", "overrides.patience=1",
+        "overrides.effective_model_rollouts_per_step=2",
+        "overrides.rollout_schedule=[1,15,1,1]",
+        "overrides.num_sac_updates_per_step=4",
+        "overrides.sac_updates_every_steps=2",
+        "dynamics_model.ensemble_size=2",
+        "dynamics_model.num_layers=2",
+        "dynamics_model.hid_size=32",
+        "algorithm.initial_exploration_steps=64",
+        "overrides.num_epochs_train_model=2",
+        "overrides.model_batch_size=16", "overrides.sac_batch_size=32",
+        "algorithm.num_eval_episodes=1",
+        "seed=0",
+    ])
+    # MockLineEnv isn't registered with the env factory; monkeypatch the ctor
+    from mbrl_tpu.parallel import distributed_collect as dc
+
+    orig = dc.make_env_ctor
+    dc.make_env_ctor = lambda cfg: (lambda: MockLineEnv())
+    try:
+        best = mbpo.train(
+            MockLineEnv(), MockLineEnv(), mock_term_fn, cfg, silent=True,
+            work_dir=str(tmp_path),
+        )
+    finally:
+        dc.make_env_ctor = orig
+    assert np.isfinite(float(best))
+
+
 @pytest.mark.slow
 def test_multihost_dryrun_two_processes():
     """2 local CPU processes form one JAX process group over a global 8-device
