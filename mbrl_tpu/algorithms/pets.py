@@ -114,6 +114,44 @@ def train(
     )
     agent.set_eval_state(model_state)
 
+    # Fully on-device model retraining (ModelTrainer.train_device): ONE
+    # dispatch per retraining against an incrementally-synced device dataset
+    # (same path MBPO uses) — the host-iterator path re-uploads the growing
+    # buffer every epoch, which dominates over a remote-device link.
+    device_training = cfg.algorithm.get("device_model_training", True)
+    device_dataset = None
+    if device_training:
+        from mbrl_tpu.util.device_buffer import DeviceTransitionDataset
+
+        device_dataset = DeviceTransitionDataset(obs_shape[0], act_shape[0])
+
+    def retrain_model(model_state):
+        if not device_training:
+            return util_common.train_model_and_save_model_and_data(
+                dynamics_model, model_state, model_trainer,
+                cfg.overrides, replay_buffer, work_dir=work_dir,
+            )
+        model_state = dynamics_model.update_normalizer_host(
+            model_state, replay_buffer.get_all()
+        )
+        device_dataset.sync_from(replay_buffer)
+        if pctx is not None:
+            pctx.shard_dataset(device_dataset)
+        model_state, _, _ = model_trainer.train_device(
+            model_state,
+            device_dataset,
+            batch_size=cfg.overrides.model_batch_size,
+            val_ratio=cfg.overrides.validation_ratio,
+            num_epochs=cfg.overrides.get("num_epochs_train_model", None),
+            patience=cfg.overrides.get("patience", 1),
+            improvement_threshold=cfg.overrides.get("improvement_threshold", 0.01),
+        )
+        if pctx is not None:
+            model_state = pctx.shard_model_state(len(dynamics_model), model_state)
+        dynamics_model.save(model_state, str(work_dir))
+        replay_buffer.save(work_dir)
+        return model_state
+
     # --------------------- Training Loop ---------------------
     env_steps = 0
     current_trial = 0
@@ -141,15 +179,8 @@ def train(
         steps_trial = 0
         while not terminated and not truncated:
             if env_steps % cfg.algorithm.freq_train_model == 0:
-                model_state = util_common.train_model_and_save_model_and_data(
-                    dynamics_model,
-                    model_state,
-                    model_trainer,
-                    cfg.overrides,
-                    replay_buffer,
-                    work_dir=work_dir,
-                )
-                if pctx is not None:
+                model_state = retrain_model(model_state)
+                if pctx is not None and not device_training:
                     model_state = pctx.shard_model_state(
                         len(dynamics_model), model_state
                     )

@@ -102,8 +102,26 @@ def train(
     planet = instantiate(cfg.dynamics_model)
     key, k_init = jax.random.split(key)
     planet_state = planet.init(k_init)
-    model_env = ModelEnv(planet, no_termination, None)
-    trainer = ModelTrainer(planet, logger=logger, optim_lr=1e-3, optim_eps=1e-4)
+    # optional mesh sharding (`parallel=mesh`): RSSM params replicate (E=1; use
+    # parallel.model_axis_size=1 so the data axis gets every chip), training
+    # window rows and latent planning particles shard over the data axis
+    from mbrl_tpu.parallel import make_parallel_context
+
+    pctx = make_parallel_context(cfg)
+    if pctx is not None:
+        planet_state = {
+            **planet_state,
+            "params": jax.device_put(planet_state["params"], pctx.replicated()),
+        }
+    model_env = ModelEnv(
+        planet,
+        no_termination,
+        None,
+        particle_sharding=pctx.particle_sharding() if pctx else None,
+    )
+    trainer = ModelTrainer(
+        planet, logger=logger, optim_lr=1e-3, optim_eps=1e-4, parallel_ctx=pctx
+    )
 
     # Latent-space CEM agent
     agent_cfg = complete_agent_cfg(env, cfg.algorithm.agent)
@@ -172,6 +190,12 @@ def train(
         key, k_train = jax.random.split(key)
         if device_training:
             device_dataset.sync_from(replay_buffer)
+            if pctx is not None:
+                # dataset rows replicate (windows gather across row shards);
+                # the gathered batch is row-sharded inside the program
+                device_dataset.data = jax.device_put(
+                    device_dataset.data, pctx.replicated()
+                )
             starts = _valid_window_starts(cfg.overrides.sequence_length)
             planet_state, _ = trainer.train_device_sequences(
                 planet_state,

@@ -686,6 +686,18 @@ class ModelTrainer:
         diff0, static = self._split_params(params)
         offsets = jnp.arange(seq_len, dtype=jnp.int32)
 
+        # mesh sharding: window rows over the data axis — the conv/RSSM
+        # forward+backward partitions over chips and XLA inserts the gradient
+        # psum (PlaNet is a single model, so the model axis is unused; run
+        # with parallel.model_axis_size=1 to give the data axis every chip)
+        row_constraint = None
+        if self.parallel_ctx is not None and self.parallel_ctx.shard_training:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from mbrl_tpu.parallel.mesh import DATA_AXIS
+
+            row_constraint = NamedSharding(self.parallel_ctx.mesh, P(DATA_AXIS))
+
         def step(carry, _):
             diff, opt_state, key = carry
             key, k_idx, k_loss = jax.random.split(key, 3)
@@ -695,6 +707,11 @@ class ModelTrainer:
             starts = valid_starts[pos]  # (B,)
             rows = starts[:, None] + offsets[None, :]  # (B, L)
             batch = jtu.tree_map(lambda a: a[rows], data)
+            if row_constraint is not None:
+                batch = jtu.tree_map(
+                    lambda a: jax.lax.with_sharding_constraint(a, row_constraint),
+                    batch,
+                )
             (loss, meta), grads = jax.value_and_grad(
                 self._loss_fn, has_aux=True
             )(diff, static, normalizer, batch, k_loss)
