@@ -528,7 +528,11 @@ class TrajectoryOptimizerAgent(Agent):
             raise RuntimeError(
                 "Call set_trajectory_eval_fn() before using TrajectoryOptimizerAgent"
             )
-        if optimizer_callback is not None:
+        import os
+
+        if optimizer_callback is not None or os.environ.get(
+            "MBRL_TPU_DISABLE_FUSED_ACT"
+        ):
             return self._act_host(obs, optimizer_callback)
         plan_time = 0.0
         if not self.actions_to_use:
