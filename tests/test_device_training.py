@@ -146,6 +146,59 @@ class TestDeviceTrainer:
         assert elite.shape == (2,)  # num_elites
         assert len(set(elite.tolist())) == 2
 
+    def test_device_training_raises_on_divergence(self):
+        """NaN params -> DivergenceError, never a silently-returned dead model
+        (the round-2 on-chip PlaNet failure mode)."""
+        import jax
+
+        from mbrl_tpu.models.trainer import DivergenceError
+
+        rb = _make_buffer(200)
+        wrapper, state = _make_model()
+        trainer = ModelTrainer(wrapper, optim_lr=1e-3, weight_decay=0.0)
+        ds = DeviceTransitionDataset(OBS_DIM, ACT_DIM, min_capacity=256)
+        ds.sync_from(rb)
+        bad = {
+            **state,
+            "params": jax.tree_util.tree_map(
+                lambda x: x * np.nan
+                if np.issubdtype(np.asarray(x).dtype, np.floating)
+                else x,
+                state["params"],
+            ),
+        }
+        with pytest.raises(DivergenceError):
+            trainer.train_device(
+                bad, ds, batch_size=32, val_ratio=0.2, num_epochs=2, patience=2
+            )
+
+    def test_device_training_persists_opt_state(self):
+        """Adam moments carry across train_device calls via the state dict
+        (reference constructs its optimizer once, model_trainer.py:63-68)."""
+        rb = _make_buffer(200)
+        wrapper, state = _make_model()
+        trainer = ModelTrainer(wrapper, optim_lr=1e-3, weight_decay=0.0)
+        state = wrapper.update_normalizer_host(state, rb.get_all())
+        ds = DeviceTransitionDataset(OBS_DIM, ACT_DIM, min_capacity=256)
+        ds.sync_from(rb)
+        s1, _, _ = trainer.train_device(
+            state, ds, batch_size=32, val_ratio=0.2, num_epochs=2, patience=2
+        )
+        assert "opt_state" in s1
+        s2, _, _ = trainer.train_device(
+            s1, ds, batch_size=32, val_ratio=0.2, num_epochs=3, patience=3
+        )
+        def step_counts(s):
+            return [
+                int(l)
+                for l in jax.tree_util.tree_leaves(s["opt_state"])
+                if getattr(l, "ndim", None) == 0
+                and str(getattr(l, "dtype", "")).startswith("int")
+            ]
+
+        c1, c2 = step_counts(s1), step_counts(s2)
+        assert c1 and c2 and max(c2) > max(c1), (c1, c2)
+
     def test_early_stopping_respects_patience(self):
         rb = _make_buffer(200)
         wrapper, state = _make_model()
