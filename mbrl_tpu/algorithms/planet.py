@@ -225,7 +225,11 @@ def train(
                 key=k_train,
             )
         agent.set_eval_state(planet_state)
+        if not silent:
+            print(f"episode {episode}: RSSM trained", flush=True)
         planet.save(planet_state, work_dir)
+        if not silent:
+            print(f"episode {episode}: params saved", flush=True)
         if cfg.overrides.get("save_replay_buffer", False):
             replay_buffer.save(work_dir)
         if logger is not None:
@@ -243,6 +247,10 @@ def train(
 
         # --------------- collect one episode ---------------
         episode_reward = 0.0
+        if not silent:
+            import time as _time
+
+            _ep_t0 = _time.time()
         obs, _ = env.reset()
         agent.reset()
         planet_state = planet.reset_posterior(planet_state)
@@ -277,6 +285,12 @@ def train(
             step += 1
             steps_in_trial += 1
         total_rewards += episode_reward
+        if not silent:
+            print(
+                f"episode {episode}: reward {episode_reward:.1f} "
+                f"({_time.time() - _ep_t0:.1f}s, step {step})",
+                flush=True,
+            )
         if logger is not None:
             logger.log_data(
                 mbrl_tpu.constants.RESULTS_LOG_NAME,

@@ -14,11 +14,36 @@ import sys
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 os.environ.setdefault("MUJOCO_GL", "egl")
 
+import time
+
 import jax
 import numpy as np
 import yaml
 
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+
+
+def wait_for_backend(max_minutes: float = 180.0) -> None:
+    """The axon pool releases dead clients' claims slowly and sometimes
+    reports UNAVAILABLE while recovering; retry init in-process so the run
+    starts the moment the chip is grantable (one claim, no process churn)."""
+    deadline = time.time() + max_minutes * 60
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            print(f"[attempt {attempt}] devices: {jax.devices()}", flush=True)
+            return
+        except RuntimeError as e:
+            if time.time() > deadline:
+                raise
+            print(f"[attempt {attempt}] backend unavailable ({e}); "
+                  "retrying in 60s", flush=True)
+            try:
+                jax.extend.backend.clear_backends()
+            except Exception:
+                pass
+            time.sleep(60)
 
 import mbrl_tpu.algorithms.planet as planet
 from mbrl_tpu.config import load_config, to_dict
@@ -40,6 +65,7 @@ def main() -> None:
     ] + sys.argv[1:]
     cfg = load_config(REPO / "mbrl_tpu" / "examples" / "conf", "main", overrides=overrides)
 
+    wait_for_backend()
     handler = create_handler(cfg)
     env, *_ = handler.make_env(cfg)
     np.random.seed(cfg.seed)
