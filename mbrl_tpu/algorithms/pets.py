@@ -152,6 +152,13 @@ def train(
         replay_buffer.save(work_dir)
         return model_state
 
+    # optional batched/multi-host collection: this process's slice of the env
+    # worker pool, fed by BATCHED MPC planning (act_batch — one program plans
+    # all local workers' actions; the reference plans one obs at a time)
+    from mbrl_tpu.parallel.distributed_collect import maybe_make_collector
+
+    collector = maybe_make_collector(cfg, seed=(cfg.seed or 0) + 100)
+
     # --------------------- Training Loop ---------------------
     env_steps = 0
     current_trial = 0
@@ -170,6 +177,57 @@ def train(
         agent.set_eval_state(model_state)
         print(f"Resumed at env step {env_steps}.")
     checkpoint_every = cfg.get("checkpoint_every", 0)
+
+    if collector is not None:
+        # ---------------- batched worker-pool collection ----------------
+        # W parallel trials; retraining triggers on env-step cadence crossings
+        # (envs must enforce their own episode limits — gym TimeLimit or the
+        # env's truncation; trial bookkeeping is per worker)
+        w = collector.num_local_workers
+        rewards_acc = np.zeros(w)
+        dones_mask = np.ones(w, bool)  # replan everyone on the first step
+        while env_steps < cfg.overrides.num_steps:
+            if (env_steps // cfg.algorithm.freq_train_model) != (
+                (env_steps + w) // cfg.algorithm.freq_train_model
+            ) or env_steps == 0:
+                model_state = retrain_model(model_state)
+                agent.set_eval_state(model_state)
+                if checkpoint_every and env_steps and (
+                    (env_steps // checkpoint_every)
+                    != ((env_steps + w) // checkpoint_every)
+                ):
+                    ckpt.save_checkpoint(
+                        work_dir,
+                        {
+                            "model_state": model_state,
+                            "key": key,
+                            "env_steps": env_steps,
+                            "current_trial": current_trial,
+                            "max_total_reward": max_total_reward,
+                        },
+                        step=env_steps,
+                    )
+            actions = agent.act(
+                collector.current_obs, batched=True, reset_mask=dones_mask
+            )
+            obs_b, next_b, rew_b, term_b, trunc_b = collector.step(actions)
+            replay_buffer.add_batch(obs_b, actions, next_b, rew_b, term_b, trunc_b)
+            rewards_acc += rew_b
+            dones_mask = term_b | trunc_b
+            for i in np.flatnonzero(dones_mask):
+                total_reward = float(rewards_acc[i])
+                rewards_acc[i] = 0.0
+                current_trial += 1
+                max_total_reward = max(max_total_reward, total_reward)
+                if logger is not None:
+                    logger.log_data(
+                        mbrl_tpu.constants.RESULTS_LOG_NAME,
+                        {"env_step": env_steps, "episode_reward": total_reward},
+                    )
+            env_steps += w
+        collector.close()
+        return np.float32(max_total_reward)
+
     while env_steps < cfg.overrides.num_steps:
         obs, _ = env.reset()
         agent.reset()

@@ -458,12 +458,16 @@ class TrajectoryOptimizerAgent(Agent):
         self._dev_prev_sol = None
         self._dev_opt_state = None
         self._act_counter = 0
+        # batched act path (one program plans for W envs; see act_batch)
+        self._act_batch_prog = None
+        self._batch_state = None  # (W, prev_sols, opt_states, cache)
 
     def set_trajectory_eval_fn(self, trajectory_eval_fn) -> None:
         """trajectory_eval_fn(action_sequences, eval_state, obs, key) -> values
         (the optimizer calls obj_fun(population, *obj_args))."""
         self.trajectory_eval_fn = trajectory_eval_fn
         self._act_prog = None
+        self._act_batch_prog = None
 
     def set_eval_state(self, eval_state) -> None:
         """Update the pytree closed over by the eval fn (e.g. trained model state)."""
@@ -483,6 +487,7 @@ class TrajectoryOptimizerAgent(Agent):
         self.actions_to_use = []
         self._dev_prev_sol = None
         self._dev_opt_state = None
+        self._batch_state = None
 
     def _next_key(self) -> jax.Array:
         self._key, sub = jax.random.split(self._key)
@@ -528,6 +533,8 @@ class TrajectoryOptimizerAgent(Agent):
             raise RuntimeError(
                 "Call set_trajectory_eval_fn() before using TrajectoryOptimizerAgent"
             )
+        if _kwargs.get("batched"):
+            return self.act_batch(obs, reset_mask=_kwargs.get("reset_mask"))
         import os
 
         if optimizer_callback is not None or os.environ.get(
@@ -557,6 +564,103 @@ class TrajectoryOptimizerAgent(Agent):
         if self.verbose:
             print(f"Planning time: {plan_time:.3f}")
         return action
+
+    def _fused_act_batch_program(self):
+        """vmap of the fused act program over W environments: ONE device
+        program plans W independent MPC actions (each with its own warm-start
+        solution, optimizer state, and PRNG stream). This is what lets a
+        planner agent feed an EnvWorkerPool the way SAC does — the reference
+        has no batched-planning concept at all (its agent plans one obs at a
+        time, trajectory_opt.py:655-716)."""
+        if self._act_batch_prog is None:
+            traj_opt = self.optimizer
+            opt = traj_opt.optimizer
+            eval_fn = self.trajectory_eval_fn
+            init_sol = traj_opt.initial_solution
+            keep = traj_opt.keep_last_solution
+            rf = traj_opt.replan_freq
+
+            def single(prev_sol, opt_state, eval_state, obs, key, counter, wid):
+                k = jax.random.fold_in(jax.random.fold_in(key, counter), wid)
+                k_opt, k_obj = jax.random.split(k)
+                sol, opt_state = opt.optimize_traced(
+                    eval_fn, prev_sol, k_opt, opt_state, (eval_state, obs, k_obj)
+                )
+                if keep:
+                    shifted = jnp.roll(sol, -rf, axis=0)
+                    shifted = shifted.at[-rf:].set(init_sol[0])
+                else:
+                    shifted = init_sol
+                return sol[:rf], shifted, opt_state
+
+            self._act_batch_prog = jax.jit(
+                jax.vmap(single, in_axes=(0, 0, None, 0, None, None, 0))
+            )
+        return self._act_batch_prog
+
+    def act_batch(
+        self, obs_batch: np.ndarray, reset_mask: Optional[np.ndarray] = None
+    ) -> np.ndarray:
+        """MPC actions for a batch of W observations in ONE device dispatch.
+
+        Per-env warm starts and optimizer states persist across calls;
+        ``reset_mask[w]=True`` resets env w's planner state (episode
+        boundary). Caches ``replan_freq`` actions per env like :meth:`act`.
+        """
+        if self.trajectory_eval_fn is None:
+            raise RuntimeError(
+                "Call set_trajectory_eval_fn() before using TrajectoryOptimizerAgent"
+            )
+        obs_batch = jnp.asarray(obs_batch, jnp.float32)
+        w = obs_batch.shape[0]
+        traj_opt = self.optimizer
+        st = self._batch_state
+        if st is None or st["w"] != w:
+            st = {
+                "w": w,
+                "prev_sol": jnp.broadcast_to(
+                    traj_opt.initial_solution, (w,) + traj_opt.initial_solution.shape
+                ),
+                "opt_state": jax.tree_util.tree_map(
+                    lambda x: jnp.broadcast_to(jnp.asarray(x), (w,) + jnp.shape(x)),
+                    traj_opt.optimizer.init_state(),
+                ),
+                "cache": [],  # list of (W, A) action rows
+                "counter": 0,
+            }
+            self._batch_state = st
+        if reset_mask is not None and np.any(reset_mask):
+            mask = jnp.asarray(reset_mask, bool)
+
+            def reset_rows(x, init):
+                m = mask.reshape((w,) + (1,) * (x.ndim - 1))
+                return jnp.where(m, jnp.asarray(init), x)
+
+            st["prev_sol"] = reset_rows(st["prev_sol"], traj_opt.initial_solution)
+            st["opt_state"] = jax.tree_util.tree_map(
+                lambda x, i: reset_rows(x, i),
+                st["opt_state"],
+                jax.tree_util.tree_map(
+                    jnp.asarray, traj_opt.optimizer.init_state()
+                ),
+            )
+            st["cache"] = []  # replan everyone at a boundary
+        if not st["cache"]:
+            actions, st["prev_sol"], st["opt_state"] = (
+                self._fused_act_batch_program()(
+                    st["prev_sol"],
+                    st["opt_state"],
+                    self._eval_state,
+                    obs_batch,
+                    self._key,
+                    jnp.int32(st["counter"]),
+                    jnp.arange(w, dtype=jnp.int32),
+                )
+            )
+            st["counter"] += 1
+            host = np.asarray(actions)  # (W, rf, A)
+            st["cache"] = [host[:, i] for i in range(host.shape[1])]
+        return st["cache"].pop(0)
 
     def _act_host(self, obs: np.ndarray, optimizer_callback) -> np.ndarray:
         """Host-loop act path (used when a per-iteration diagnostics callback

@@ -181,6 +181,69 @@ def test_trajectory_optimizer_agent_caching():
         TrajectoryOptimizerAgent(cem, [-1.0], [1.0]).act(obs)
 
 
+def test_agent_act_batch_plans_w_envs_in_one_dispatch():
+    """act_batch: one program plans W independent MPC actions with per-env
+    warm starts / optimizer state / PRNG streams; reset_mask clears one env's
+    planner state at an episode boundary."""
+    cem = CEMOptimizer(4, 0.2, 60, [[-1.0]] * 4, [[1.0]] * 4, alpha=0.1)
+    agent = TrajectoryOptimizerAgent(
+        cem, action_lb=[-1.0], action_ub=[1.0], planning_horizon=4, replan_freq=2
+    )
+
+    # per-env optimum depends on the observation: best action = obs[0]
+    def eval_fn(action_sequences, eval_state, obs, key):
+        return -jnp.square(action_sequences - obs[0]).sum(axis=(1, 2))
+
+    agent.set_trajectory_eval_fn(eval_fn)
+    obs = np.array([[0.3, 0.0], [-0.5, 0.0], [0.0, 0.0]], np.float32)
+    a1 = agent.act_batch(obs)
+    assert a1.shape == (3, 1)
+    a2 = agent.act_batch(obs)  # cached row (replan_freq=2): no new plan
+    assert agent._batch_state["counter"] == 1
+    a3 = agent.act_batch(obs)
+    assert agent._batch_state["counter"] == 2
+    # each env converged toward its own optimum
+    np.testing.assert_allclose(a3[:, 0], obs[:, 0], atol=0.25)
+    # boundary reset for env 1 only
+    agent.act_batch(obs, reset_mask=np.array([False, True, False]))
+    # pool-style dispatch through act(batched=True)
+    a4 = agent.act(obs, batched=True)
+    assert a4.shape == (3, 1)
+
+
+def test_agent_act_batch_with_worker_pool():
+    """A planner agent feeds EnvWorkerPool.collect via batched acting —
+    the PETS-side counterpart of the SAC collection path."""
+    import pathlib
+    import sys
+
+    sys.path.insert(0, str(pathlib.Path(__file__).parent))
+    from test_algorithms import MockLineEnv
+
+    from mbrl_tpu.parallel.env_workers import EnvWorkerPool
+    from mbrl_tpu.util.replay_buffer import ReplayBuffer
+
+    cem = CEMOptimizer(2, 0.2, 30, [[-1.0]] * 3, [[1.0]] * 3, alpha=0.1)
+    agent = TrajectoryOptimizerAgent(
+        cem, action_lb=[-1.0], action_ub=[1.0], planning_horizon=3, replan_freq=1
+    )
+
+    def eval_fn(action_sequences, eval_state, obs, key):
+        # drive position toward 0: reward = -(pos + vel + a)^2 proxy
+        pred = obs[0] + obs[1] + action_sequences[:, :, 0].cumsum(axis=1)
+        return -jnp.square(pred).sum(axis=1)
+
+    agent.set_trajectory_eval_fn(eval_fn)
+    pool = EnvWorkerPool(MockLineEnv, num_workers=3, seed=0)
+    try:
+        buf = ReplayBuffer(500, (2,), (1,))
+        pool.collect(agent, 10, replay_buffer=buf)
+        assert len(buf) == 30
+        assert np.isfinite(buf.get_all().act).all()
+    finally:
+        pool.close()
+
+
 def test_optimizer_callbacks_invoked_per_iteration():
     """Parity: reference trajectory_opt.py:146-175 — optimize(callback=) is called
     once per iteration with (population, values, iteration_index)."""

@@ -265,6 +265,42 @@ def test_distributed_collector_slice_to_pool(tmp_path):
         col.close()
 
 
+def test_pets_with_env_workers(tmp_path):
+    """PETS end-to-end with overrides.num_env_workers: batched MPC planning
+    (act_batch) feeds the worker pool; retraining triggers on cadence
+    crossings."""
+    import mbrl_tpu.algorithms.pets as pets
+    from mbrl_tpu.config import load_config
+    from tests.test_algorithms import MockLineEnv, mock_term_fn, mock_reward_fn, _CONF_DIR
+
+    cfg = load_config(_CONF_DIR, "main", overrides=[
+        "algorithm=pets", "overrides=pets_cartpole",
+        "overrides.env=mock", "overrides.num_env_workers=2",
+        "overrides.num_steps=80", "overrides.trial_length=20",
+        "algorithm.initial_exploration_steps=40",
+        "algorithm.freq_train_model=40",
+        "overrides.num_epochs_train_model=2",
+        "overrides.model_batch_size=16",
+        "overrides.cem_population_size=32", "overrides.cem_num_iters=2",
+        "overrides.planning_horizon=4", "algorithm.num_particles=8",
+        "dynamics_model.ensemble_size=2", "dynamics_model.hid_size=32",
+        "dynamics_model.num_layers=2",
+        "seed=0",
+    ])
+    from mbrl_tpu.parallel import distributed_collect as dc
+
+    orig = dc.make_env_ctor
+    dc.make_env_ctor = lambda cfg: (lambda: MockLineEnv())
+    try:
+        best = pets.train(
+            MockLineEnv(), mock_term_fn, mock_reward_fn, cfg, silent=True,
+            work_dir=str(tmp_path),
+        )
+    finally:
+        dc.make_env_ctor = orig
+    assert np.isfinite(float(best))
+
+
 def test_mbpo_with_env_workers(tmp_path):
     """MBPO end-to-end with overrides.num_env_workers: batched collection path
     (pool stepping + batched cadence checks) trains and evaluates."""
