@@ -113,6 +113,11 @@ def train(
         model_env, agent, num_particles=cfg.algorithm.num_particles
     )
     agent.set_eval_state(model_state)
+    # TPU perf knob: planning PRNG implementation ("rbg" = cheap counter-based
+    # bits; threefry sampling is a measured ~45% of a rollout step)
+    prng_impl = cfg.algorithm.get("planning_prng_impl", None)
+    if prng_impl:
+        agent.use_prng_impl(prng_impl)
 
     # Fully on-device model retraining (ModelTrainer.train_device): ONE
     # dispatch per retraining against an incrementally-synced device dataset

@@ -452,6 +452,7 @@ class TrajectoryOptimizerAgent(Agent):
         self.actions_to_use: List[np.ndarray] = []
         self.replan_freq = replan_freq
         self.verbose = verbose
+        self._seed = seed
         self._key = jax.random.PRNGKey(seed)
         # fused single-dispatch act path (see _fused_act_program)
         self._act_prog = None
@@ -487,6 +488,17 @@ class TrajectoryOptimizerAgent(Agent):
         self.actions_to_use = []
         self._dev_prev_sol = None
         self._dev_opt_state = None
+        self._batch_state = None
+
+    def use_prng_impl(self, impl: str) -> None:
+        """Re-seed the agent's PRNG with a specific implementation (e.g.
+        "rbg": TPU-cheap counter-based bits vs the default threefry, whose
+        generation cost is a measured ~45% of a rollout step). All keys split
+        from this one inherit the impl through the whole planning program."""
+        self._key = jax.random.key(self._seed, impl=impl)
+        self._act_prog = None
+        self._act_batch_prog = None
+        self._dev_prev_sol = None
         self._batch_state = None
 
     def _next_key(self) -> jax.Array:
