@@ -118,3 +118,53 @@ def test_closed_loop_single_dispatch_shapes_fixed_model():
     )
     assert obs_traj.shape == (4, OBS_DIM) and rewards.shape == (4,)
     assert bool(jnp.isfinite(obs_traj).all())
+
+
+def test_closed_loop_driver_with_icem_and_mppi():
+    """Stateful optimizers thread their opt_state through the driver's scan
+    (round-2 ADVICE: iCEM raised TypeError; MPPI was double-shifted). Both
+    must drive a toy integrator toward its reward optimum."""
+    from mbrl_tpu.planning import ICEMOptimizer, MPPIOptimizer
+
+    class ToyEnv:
+        class DM:
+            model = None
+
+        dynamics_model = DM()
+
+        def reset(self, st, obs_rows, key):
+            return {"s": obs_rows}
+
+        def _step_impl(self, st, action, env_state, key, sample=True):
+            s = env_state["s"] + 0.2 * action
+            r = -jnp.square(s - 1.0).sum(axis=-1, keepdims=True)
+            return s, r, jnp.zeros_like(r, bool), {"s": s}
+
+        def _evaluate_impl(self, st, population, obs, key, num_particles=1):
+            def score(seq):
+                def stp(s, a):
+                    s2 = s + 0.2 * a
+                    return s2, -jnp.square(s2 - 1.0).sum()
+
+                _, rs = jax.lax.scan(stp, obs, seq)
+                return rs.sum()
+
+            return jax.vmap(score)(population)
+
+    H = 5
+    bounds = dict(lower_bound=[[-1.0]] * H, upper_bound=[[1.0]] * H)
+    opts = [
+        ICEMOptimizer(
+            3, 0.2, 40, population_decay_factor=1.3,
+            colored_noise_exponent=2.0, keep_elite_frac=0.5, alpha=0.1, **bounds
+        ),
+        MPPIOptimizer(4, 50, gamma=1.0, sigma=0.5, beta=0.7, **bounds),
+    ]
+    for opt in opts:
+        drv = ClosedLoopDriver(ToyEnv(), opt, horizon=H, act_dim=1, num_particles=1)
+        obs_traj, actions, rewards, dones = drv.run(
+            {"params": {}}, np.zeros(1, np.float32), jax.random.PRNGKey(0),
+            num_steps=25,
+        )
+        assert float(obs_traj[-1, 0]) > 0.7, type(opt).__name__
+        assert np.isfinite(np.asarray(actions)).all()
