@@ -225,7 +225,10 @@ class TransitionRewardModel:
         return len(self.model)
 
     def save(self, state: Dict[str, Any], save_dir: Union[str, pathlib.Path]) -> None:
-        host_state = jax.device_get(state)
+        # fetch only what gets persisted (state may also carry Adam moments)
+        host_state = jax.device_get(
+            {"params": state["params"], "normalizer": state.get("normalizer")}
+        )
         with open(pathlib.Path(save_dir) / _PARAMS_FNAME, "wb") as f:
             pickle.dump(
                 {
