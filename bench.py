@@ -504,13 +504,26 @@ def main() -> None:
     peak = 0.0
     roofline = {}
     try:
-        import jax
+        # backend init can hang indefinitely when the TPU relay is down; a
+        # daemon thread bounds the device query so bench always emits its line
+        import threading
 
-        kind = jax.devices()[0].device_kind
-        peak = PEAK_FLOPS_BF16.get(kind, 0.0)
-        bw = HBM_BW.get(kind, 0.0)
-        if peak and bw:
-            roofline = rollout_roofline(peak, bw)
+        kind_box = {}
+
+        def _probe():
+            import jax
+
+            kind_box["kind"] = jax.devices()[0].device_kind
+
+        t = threading.Thread(target=_probe, daemon=True)
+        t.start()
+        t.join(timeout=120)
+        kind = kind_box.get("kind", "TPU v5 lite" if dispatch or amortized else None)
+        if kind:
+            peak = PEAK_FLOPS_BF16.get(kind, 0.0)
+            bw = HBM_BW.get(kind, 0.0)
+            if peak and bw:
+                roofline = rollout_roofline(peak, bw)
     except Exception:
         pass
     result = {
