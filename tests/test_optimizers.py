@@ -210,6 +210,22 @@ def test_agent_act_batch_plans_w_envs_in_one_dispatch():
     a4 = agent.act(obs, batched=True)
     assert a4.shape == (3, 1)
 
+    # stateful optimizer: per-env iCEM elite sets thread through act_batch
+    icem = ICEMOptimizer(
+        3, 0.2, 40, population_decay_factor=1.3, colored_noise_exponent=2.0,
+        keep_elite_frac=0.5, alpha=0.1,
+        lower_bound=[[-1.0]] * 4, upper_bound=[[1.0]] * 4,
+    )
+    agent_i = TrajectoryOptimizerAgent(
+        icem, action_lb=[-1.0], action_ub=[1.0], planning_horizon=4, replan_freq=1
+    )
+    agent_i.set_trajectory_eval_fn(eval_fn)
+    for _ in range(4):
+        ai = agent_i.act_batch(obs)
+    np.testing.assert_allclose(ai[:, 0], obs[:, 0], atol=0.3)
+    st = agent_i._batch_state
+    assert bool(np.asarray(st["opt_state"]["valid"]).all())  # (W,) elite flags
+
 
 def test_agent_act_batch_with_worker_pool():
     """A planner agent feeds EnvWorkerPool.collect via batched acting —
