@@ -249,6 +249,63 @@ def test_planet_sharded_end_to_end(tmp_path):
     assert np.isfinite(avg_reward)
 
 
+def test_planet_mid_run_resume(tmp_path):
+    """Stop after episode 1, resume, continue to episode 3: the checkpoint
+    carries params + Adam moments + PRNG key + counters, and the resumed run
+    skips initial exploration."""
+    from mbrl_tpu.config import load_config
+    from mbrl_tpu.config.engine import resolve_interpolations
+    import mbrl_tpu.algorithms.planet as planet_algo
+    import pathlib
+
+    conf_dir = pathlib.Path(__file__).parent.parent / "mbrl_tpu" / "examples" / "conf"
+
+    def cfg_for(num_episodes):
+        cfg = load_config(
+            conf_dir, "main",
+            overrides=["algorithm=planet", "dynamics_model=planet",
+                       "overrides=planet_cartpole_balance"],
+        )
+        cfg.seed = 0
+        cfg["resume"] = True
+        cfg["checkpoint_every"] = 1
+        cfg.dynamics_model["obs_shape"] = list(OBS_SHAPE)
+        cfg.dynamics_model["obs_encoding_size"] = 64
+        cfg.dynamics_model["encoder_config"] = [list(c) for c in ENC_CFG]
+        cfg.dynamics_model["decoder_config"] = [
+            list(DEC_CFG[0]), [list(c) for c in DEC_CFG[1]]
+        ]
+        cfg.dynamics_model["latent_state_size"] = LATENT
+        cfg.dynamics_model["belief_size"] = BELIEF
+        cfg.dynamics_model["hidden_size_fcs"] = 32
+        cfg.algorithm["num_initial_trajectories"] = 2
+        cfg.algorithm["num_episodes"] = num_episodes
+        cfg.algorithm["dataset_size"] = 2000
+        cfg.overrides["trial_length"] = 10
+        cfg.overrides["num_grad_updates"] = 2
+        cfg.overrides["sequence_length"] = 5
+        cfg.overrides["batch_size"] = 4
+        cfg.overrides["planning_horizon"] = 3
+        cfg.overrides["cem_num_iters"] = 2
+        cfg.overrides["cem_population_size"] = 30
+        resolve_interpolations(cfg)
+        return cfg
+
+    planet_algo.train(MockPixelEnv(), cfg_for(1), silent=True, work_dir=str(tmp_path))
+    from mbrl_tpu.util import checkpoint as ckpt
+
+    latest = ckpt.latest_checkpoint(tmp_path)
+    assert latest is not None
+    snap = ckpt.restore_checkpoint(latest)
+    assert int(snap["episode"]) == 1
+    assert "opt_state" in snap["planet_state"]  # Adam moments in the checkpoint
+
+    planet_algo.train(MockPixelEnv(), cfg_for(3), silent=True, work_dir=str(tmp_path))
+    snap2 = ckpt.restore_checkpoint(ckpt.latest_checkpoint(tmp_path))
+    assert int(snap2["episode"]) == 3
+    assert int(snap2["step"]) > int(snap["step"])
+
+
 def test_planet_visualizer_smoke(tmp_path):
     """PlanetVisualizer: act in the real env, open-loop prior replay, GIF output
     (reference diagnostics/planet_visualizer.py:23-184)."""
