@@ -13,12 +13,15 @@ from __future__ import annotations
 import pathlib
 import sys
 
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
 import jax
 import numpy as np
 import yaml
 
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 
+from mbrl_tpu.util.backend import wait_for_backend
 import mbrl_tpu.algorithms.mbpo as mbpo
 from mbrl_tpu.config import load_config, to_dict
 from mbrl_tpu.util.env import create_handler
@@ -38,6 +41,7 @@ def main() -> None:
     ] + sys.argv[1:]
     cfg = load_config(REPO / "mbrl_tpu" / "examples" / "conf", "main", overrides=overrides)
 
+    wait_for_backend()
     handler = create_handler(cfg)
     env, term_fn, _ = handler.make_env(cfg)
     test_env, *_ = create_handler(cfg).make_env(cfg)

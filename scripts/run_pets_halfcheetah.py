@@ -21,6 +21,7 @@ import yaml
 
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 
+from mbrl_tpu.util.backend import wait_for_backend
 import mbrl_tpu.algorithms.pets as pets
 from mbrl_tpu.config import load_config, to_dict
 from mbrl_tpu.util.env import create_handler
@@ -40,6 +41,7 @@ def main() -> None:
     ] + sys.argv[1:]
     cfg = load_config(REPO / "mbrl_tpu" / "examples" / "conf", "main", overrides=overrides)
 
+    wait_for_backend()
     handler = create_handler(cfg)
     env, term_fn, reward_fn = handler.make_env(cfg)
     np.random.seed(cfg.seed)

@@ -21,32 +21,14 @@ import numpy as np
 import yaml
 
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-
-
-def wait_for_backend(max_minutes: float = 180.0) -> None:
-    """The axon pool releases dead clients' claims slowly and sometimes
-    reports UNAVAILABLE while recovering; retry init in-process so the run
-    starts the moment the chip is grantable (one claim, no process churn)."""
-    deadline = time.time() + max_minutes * 60
-    attempt = 0
-    while True:
-        attempt += 1
-        try:
-            print(f"[attempt {attempt}] devices: {jax.devices()}", flush=True)
-            return
-        except RuntimeError as e:
-            if time.time() > deadline:
-                raise
-            print(f"[attempt {attempt}] backend unavailable ({e}); "
-                  "retrying in 60s", flush=True)
-            try:
-                jax.extend.backend.clear_backends()
-            except Exception:
-                pass
-            time.sleep(60)
+if os.environ.get("MBRL_TPU_PLATFORM"):
+    # the site customization pins JAX_PLATFORMS=axon; CPU smoke runs must
+    # override inside Python
+    jax.config.update("jax_platforms", os.environ["MBRL_TPU_PLATFORM"])
 
 import mbrl_tpu.algorithms.planet as planet
 from mbrl_tpu.config import load_config, to_dict
+from mbrl_tpu.util.backend import wait_for_backend
 from mbrl_tpu.util.env import create_handler
 
 REPO = pathlib.Path(__file__).resolve().parent.parent
