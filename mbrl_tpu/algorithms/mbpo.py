@@ -470,23 +470,25 @@ def train(
 
             # --------------- SAC updates (one enqueued program) ---------------
             enough_data = sac_buf_known_min >= sac_batch_size
-            if (
-                num_sac_updates > 0
-                and _crosses(cfg.overrides.sac_updates_every_steps)
-                and enough_data
-            ):
+            upd_freq = cfg.overrides.sac_updates_every_steps
+            # batched collection parity: a W-wide step crosses the update
+            # cadence up to W/upd_freq times; run that many update bundles so
+            # updates-per-env-step matches the reference's single-env loop
+            n_crossings = (env_steps + step_delta) // upd_freq - env_steps // upd_freq
+            n_updates_now = num_sac_updates * n_crossings
+            if num_sac_updates > 0 and n_crossings > 0 and enough_data:
                 if real_ratio > 0 and real_snapshot is not None:
                     key, k_batches, k_real, k_mix = jax.random.split(key, 4)
                     batches = sac_buffer.sample_many(
-                        sac_buf_state, k_batches, num_sac_updates, sac_batch_size
+                        sac_buf_state, k_batches, n_updates_now, sac_batch_size
                     )
                     n_real = real_snapshot[0].shape[0]
                     ridx = jax.random.randint(
-                        k_real, (num_sac_updates, sac_batch_size), 0, n_real
+                        k_real, (n_updates_now, sac_batch_size), 0, n_real
                     )
                     real_batches = tuple(arr[ridx] for arr in real_snapshot)
                     use_real = (
-                        jax.random.uniform(k_mix, (num_sac_updates,)) < real_ratio
+                        jax.random.uniform(k_mix, (n_updates_now,)) < real_ratio
                     )
                     sel = use_real[:, None, None]
                     batches = tuple(
@@ -499,11 +501,11 @@ def train(
                     # (the PRNG key is carried on device)
                     sac_state, upd_key, _ = sac.update_from_buffer(
                         sac_state, sac_buf_state, upd_key,
-                        num_updates=num_sac_updates, batch_size=sac_batch_size,
+                        num_updates=n_updates_now, batch_size=sac_batch_size,
                     )
                 agent.set_state(sac_state)
-                updates_made += num_sac_updates
-                if logger is not None and updates_made % cfg.log_frequency_agent < num_sac_updates:
+                updates_made += n_updates_now
+                if logger is not None and updates_made % cfg.log_frequency_agent < n_updates_now:
                     logger.dump(updates_made, save=True)
 
             # --------------- epoch end: evaluate + checkpoint ---------------
