@@ -227,6 +227,15 @@ def train(
     from mbrl_tpu.parallel.distributed_collect import maybe_make_collector
 
     collector = maybe_make_collector(cfg, seed=(cfg.seed or 0) + 100)
+    if collector is not None and collector.num_workers_total > int(
+        cfg.overrides.freq_train_model
+    ):
+        raise ValueError(
+            f"num_env_workers={collector.num_workers_total} exceeds "
+            f"freq_train_model={cfg.overrides.freq_train_model}: one batched "
+            "step would cross the retrain cadence more than once; lower the "
+            "pool width"
+        )
 
     resume_snap = None
     if cfg.get("resume", False):
@@ -238,10 +247,13 @@ def train(
     if resume_snap is None:
         random_explore = cfg.algorithm.random_initial_explore
         if collector is not None and random_explore:
+            # divide the GLOBAL exploration budget by the GLOBAL pool width:
+            # every process runs the same number of batched steps, so the
+            # all-process total matches the reference budget (r3 advice)
             collector.collect_random(
                 env.action_space,
                 -(-cfg.algorithm.initial_exploration_steps
-                  // collector.num_local_workers),
+                  // collector.num_workers_total),
                 replay_buffer=replay_buffer,
             )
         else:
@@ -379,7 +391,10 @@ def train(
                     w_obs, w_actions, w_next, w_rew, w_term, w_trunc
                 )
                 next_obs = None
-                step_delta = collector.num_local_workers
+                # env_steps advances by the GLOBAL pool width: every process
+                # runs the same batched step, so budgets/cadences stay
+                # process-count invariant (r3 advice)
+                step_delta = collector.num_workers_total
 
             def _crosses(freq: int) -> bool:
                 # cadence check that stays correct when a batched step advances

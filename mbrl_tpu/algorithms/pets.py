@@ -185,40 +185,60 @@ def train(
 
     if collector is not None:
         # ---------------- batched worker-pool collection ----------------
-        # W parallel trials; retraining triggers on env-step cadence crossings
-        # (envs must enforce their own episode limits — gym TimeLimit or the
-        # env's truncation; trial bookkeeping is per worker)
+        # W parallel trials; retraining triggers on env-step cadence crossings.
+        # env_steps counts GLOBAL steps (every process's workers) so step
+        # budgets and cadences are invariant to the process count (r3 advice).
         w = collector.num_local_workers
+        wg = collector.num_workers_total
+        if wg > cfg.algorithm.freq_train_model:
+            raise ValueError(
+                f"num_env_workers={wg} exceeds freq_train_model="
+                f"{cfg.algorithm.freq_train_model}: a single batched step would "
+                "cross the retrain cadence more than once; lower the pool width"
+            )
+        # the single-env loop truncates trials at overrides.trial_length; the
+        # batched loop must too — shipped configs (pets_halfcheetah etc.) have
+        # no TimeLimit wrapper and never terminate on their own (r3 advice)
+        trial_length = int(cfg.overrides.get("trial_length", 0) or 0)
         rewards_acc = np.zeros(w)
+        steps_in_trial = np.zeros(w, np.int64)
         dones_mask = np.ones(w, bool)  # replan everyone on the first step
         while env_steps < cfg.overrides.num_steps:
             if (env_steps // cfg.algorithm.freq_train_model) != (
-                (env_steps + w) // cfg.algorithm.freq_train_model
+                (env_steps + wg) // cfg.algorithm.freq_train_model
             ) or env_steps == 0:
                 model_state = retrain_model(model_state)
                 agent.set_eval_state(model_state)
-                if checkpoint_every and env_steps and (
-                    (env_steps // checkpoint_every)
-                    != ((env_steps + w) // checkpoint_every)
-                ):
-                    ckpt.save_checkpoint(
-                        work_dir,
-                        {
-                            "model_state": model_state,
-                            "key": key,
-                            "env_steps": env_steps,
-                            "current_trial": current_trial,
-                            "max_total_reward": max_total_reward,
-                        },
-                        step=env_steps,
-                    )
+            # checkpoint crossings are independent of retrain crossings
+            if checkpoint_every and env_steps and (
+                (env_steps // checkpoint_every)
+                != ((env_steps + wg) // checkpoint_every)
+            ):
+                ckpt.save_checkpoint(
+                    work_dir,
+                    {
+                        "model_state": model_state,
+                        "key": key,
+                        "env_steps": env_steps,
+                        "current_trial": current_trial,
+                        "max_total_reward": max_total_reward,
+                    },
+                    step=env_steps,
+                )
             actions = agent.act(
                 collector.current_obs, batched=True, reset_mask=dones_mask
             )
             obs_b, next_b, rew_b, term_b, trunc_b = collector.step(actions)
+            steps_in_trial += 1
+            if trial_length:
+                timeout = (steps_in_trial >= trial_length) & ~(term_b | trunc_b)
+                if timeout.any():
+                    trunc_b = trunc_b | timeout
+                    collector.reset_workers(np.flatnonzero(timeout))
             replay_buffer.add_batch(obs_b, actions, next_b, rew_b, term_b, trunc_b)
             rewards_acc += rew_b
             dones_mask = term_b | trunc_b
+            steps_in_trial[dones_mask] = 0
             for i in np.flatnonzero(dones_mask):
                 total_reward = float(rewards_acc[i])
                 rewards_acc[i] = 0.0
@@ -229,7 +249,7 @@ def train(
                         mbrl_tpu.constants.RESULTS_LOG_NAME,
                         {"env_step": env_steps, "episode_reward": total_reward},
                     )
-            env_steps += w
+            env_steps += wg
         collector.close()
         return np.float32(max_total_reward)
 
@@ -248,18 +268,19 @@ def train(
                         len(dynamics_model), model_state
                     )
                 agent.set_eval_state(model_state)
-                if checkpoint_every and env_steps and env_steps % checkpoint_every == 0:
-                    ckpt.save_checkpoint(
-                        work_dir,
-                        {
-                            "model_state": model_state,
-                            "key": key,
-                            "env_steps": env_steps,
-                            "current_trial": current_trial,
-                            "max_total_reward": max_total_reward,
-                        },
-                        step=env_steps,
-                    )
+            # checkpoint cadence is independent of the retrain cadence
+            if checkpoint_every and env_steps and env_steps % checkpoint_every == 0:
+                ckpt.save_checkpoint(
+                    work_dir,
+                    {
+                        "model_state": model_state,
+                        "key": key,
+                        "env_steps": env_steps,
+                        "current_trial": current_trial,
+                        "max_total_reward": max_total_reward,
+                    },
+                    step=env_steps,
+                )
 
             next_obs, reward, terminated, truncated, _ = (
                 util_common.step_env_and_add_to_buffer(

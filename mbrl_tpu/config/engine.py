@@ -33,10 +33,22 @@ class Config:
 
     # -- access ---------------------------------------------------------- #
     def __getattr__(self, key: str) -> Any:
+        if key.startswith("_"):
+            # never route private/dunder lookups through the data dict: pickle
+            # probes __reduce_ex__/__getstate__ before _data exists and the
+            # fallback would recurse through __getitem__ forever
+            raise AttributeError(key)
         try:
             return self[key]
         except KeyError as e:
             raise AttributeError(key) from e
+
+    # -- pickling (spawn/forkserver env workers ship their cfg) ----------- #
+    def __getstate__(self) -> Dict[str, Any]:
+        return {"_data": self._data}
+
+    def __setstate__(self, state: Dict[str, Any]) -> None:
+        object.__setattr__(self, "_data", state["_data"])
 
     def __getitem__(self, key: str) -> Any:
         val = self._data[key]

@@ -29,6 +29,14 @@ handler__: EnvHandler = None
 def init_worker(env_name: str, seed: int):
     """Initialize a per-worker global environment."""
     global env__, handler__
+    try:
+        # true-dynamics workers step host simulators only; a fresh
+        # forkserver/spawn child must not claim the remote TPU backend
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    except Exception:
+        pass
     from mbrl_tpu.config import Config
 
     handler__ = create_handler_from_str(env_name)
@@ -81,7 +89,14 @@ class TrueDynamicsController:
         self.action_lb = self.env.action_space.low
         self.action_ub = self.env.action_space.high
 
-        self.pool = mp.Pool(
+        # forkserver: the parent has live JAX threads by now, so forking it
+        # directly risks deadlocks in inherited locks (same fix as
+        # parallel/env_workers.py)
+        try:
+            _ctx = mp.get_context("forkserver")
+        except ValueError:  # pragma: no cover - non-POSIX fallback
+            _ctx = mp.get_context("spawn")
+        self.pool = _ctx.Pool(
             processes=num_workers, initializer=init_worker, initargs=(env_name, seed)
         )
 

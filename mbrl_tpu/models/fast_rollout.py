@@ -53,6 +53,16 @@ def _kernel_platform_ok() -> bool:
     return jax.devices()[0].platform == "tpu"
 
 
+def _is_trivial_termination(termination_fn) -> bool:
+    """True when the termination fn provably never ends an episode (the
+    library's no_termination, or anything explicitly tagged trivial)."""
+    if termination_fn is None or getattr(termination_fn, "trivial", False):
+        return True
+    from mbrl_tpu.envs import termination_fns
+
+    return termination_fn is termination_fns.no_termination
+
+
 def supports_fast_rollout(wrapper, state: Dict[str, Any], batch: int) -> bool:
     """Static gate: wrapper wraps a GaussianMLP-style ensemble whose equal-shard
     propagation applies to this batch size."""
@@ -164,6 +174,63 @@ def evaluate_action_sequences_sharded(
 
         kernel_tile = pick_tile(shard)
     use_kernel = kernel_tile is not None
+
+    # Full-horizon weight-stationary kernel (round 4): when the whole step —
+    # learned reward, pure delta targets, no obs preprocessing, no
+    # termination — fits the kernel's semantics, run the ENTIRE horizon in one
+    # pallas_call with the elite weight stack pinned in VMEM (see
+    # ops/pallas_kernels.py fused_rollout_returns). Member re-shuffling
+    # happens by rotating the assignment index, not the data.
+    if (
+        use_kernel
+        and rotate
+        and not fixed
+        and obs_process_fn is None
+        and reward_fn is None
+        and learned_rewards
+        and target_is_delta
+        and not low_precision
+        and _is_trivial_termination(termination_fn)
+    ):
+        import mbrl_tpu.ops.pallas_kernels as _pk
+
+        seed = jax.lax.bitcast_convert_type(
+            jax.random.bits(k_seed, (2,), dtype=jnp.uint32), jnp.int32
+        )
+        num_tiles = batch // kernel_tile
+        rot = jax.random.randint(k_qs, (horizon,), 0, num_tiles, jnp.int32)
+        rot = jnp.cumsum(rot.at[0].set(0)) % num_tiles
+        obs0_rows = jnp.broadcast_to(
+            initial_obs.astype(jnp.float32), (batch, obs_dim)
+        )
+        # strided particle layout: row r plans sequence (r % population), so a
+        # sequence's particles spread over ALL row tiles — and therefore over
+        # all members every step (stratified TS1: same uniform member
+        # marginals as the rolled carry, lower estimator variance than
+        # clustering a sequence's particles in one member's shard)
+        acts_rows = jnp.tile(action_sequences, (num_particles, 1, 1))
+        dmask = jnp.ones((1, obs_dim), jnp.float32)
+        for dim in no_delta_list:
+            dmask = dmask.at[0, dim].set(0.0)
+        totals_rows = _pk.fused_rollout_returns(
+            seed,
+            rot,
+            obs0_rows,
+            acts_rows.astype(jnp.float32),
+            dmask,
+            tuple(layer_ws),
+            tuple(layer_bs),
+            head_w,
+            head_b,
+            p["max_logvar"],
+            p["min_logvar"],
+            out_size,
+            activation=activation,
+            tile=kernel_tile,
+        )
+        # strided layout readout: particle p of sequence s is row
+        # p * population + s
+        return totals_rows.reshape(num_particles, population).mean(axis=0)
     if use_kernel:
         import mbrl_tpu.ops.pallas_kernels as _pk
 

@@ -112,6 +112,186 @@ def supports_fused_mlp(rows_per_member: int, tile: int = 512) -> bool:
     return rows_per_member % tile == 0
 
 
+# --------------------------------------------------------------------------- #
+# Full-horizon weight-stationary rollout kernel (round-4 second attempt).
+#
+# The round-3 per-step kernel lost to XLA (64.7M vs 86.6M trans/s) because each
+# rollout step re-fetched the elite weight stack from HBM and re-paid kernel
+# launch + activation in/out traffic 30x per plan. This kernel inverts the
+# loop structure: ONE pallas_call per plan, grid over BATCH TILES only, the
+# whole elite weight stack (~2.6 MB at PETS shapes) resident in VMEM, and the
+# horizon as a fori_loop INSIDE the kernel. Per plan, HBM moves the weights
+# once (revolving buffers keep them across grid programs), the pre-expanded
+# action table once, and one (tile, 1) return column out: everything else —
+# inter-layer activations, Gaussian noise, the obs carry — lives and dies in
+# VMEM/registers.
+#
+# TS1 re-shuffling without data movement: the shard-space "rotate" scheme
+# (fast_rollout.py) rolls the packed carry by a uniform offset each step; a
+# global roll cannot cross pallas grid programs, so the kernel keeps rows
+# STATIONARY and rotates the member ASSIGNMENT instead — row tile i draws
+# member ((i + rot[t]) % num_tiles) // tiles_per_member from the in-VMEM
+# stacked weights, with rot[t] a cumulative uniform tile-granular rotation
+# (coarser than row-granular, but the scheme's balance/unbiasedness argument
+# is identical: assignments are a single global shift either way; see
+# GaussianMLP.rollout_shuffle and tests/test_fast_rollout.py).
+# --------------------------------------------------------------------------- #
+
+
+def _rollout_kernel(
+    num_layers: int,
+    out_size: int,
+    horizon: int,
+    tiles_per_member: int,
+    num_tiles: int,
+    activation,
+    sample: bool,
+    *refs,
+):
+    """refs: seed(SMEM 2), rot(SMEM H), obs0, acts, delta_mask,
+    (w_i, b_i)*L, w_head, b_head, max_logvar, min_logvar, out."""
+    seed_ref, rot_ref, obs0_ref, acts_ref, dmask_ref = refs[:5]
+    out_ref = refs[-1]
+    min_lv_ref = refs[-2]
+    max_lv_ref = refs[-3]
+    layer_refs = refs[5:-3]
+    i = pl.program_id(0)
+    if sample:
+        # one stream per tile program for the whole horizon (bits calls
+        # advance the per-core PRNG state across fori_loop iterations)
+        pltpu.prng_seed(
+            seed_ref[0] + i * jnp.int32(-1640531527),  # 0x9E3779B9
+            seed_ref[1] + i * jnp.int32(-2049693685),  # 0x85EBCA6B
+        )
+    max_lv = max_lv_ref[:]
+    min_lv = min_lv_ref[:]
+    dmask = dmask_ref[:]  # (1, D) 1.0 where target is a delta
+
+    def step(t, carry):
+        obs, total = carry  # (tile, D), (tile, 1)
+        m = ((i + rot_ref[t]) % num_tiles) // tiles_per_member
+        x = jnp.concatenate([obs, acts_ref[:, t, :]], axis=-1)
+        h = x
+        for l in range(num_layers):
+            w = layer_refs[2 * l][m]
+            b = layer_refs[2 * l + 1][m]
+            h = activation(jnp.dot(h, w, preferred_element_type=jnp.float32) + b)
+        w_head = layer_refs[2 * num_layers][m]
+        b_head = layer_refs[2 * num_layers + 1][m]
+        out = jnp.dot(h, w_head, preferred_element_type=jnp.float32) + b_head
+        mean = out[:, :out_size]
+        logvar = out[:, out_size:]
+        logvar = max_lv - jax.nn.softplus(max_lv - logvar)
+        logvar = min_lv + jax.nn.softplus(logvar - min_lv)
+        if sample:
+            bits1 = pltpu.bitcast(pltpu.prng_random_bits(mean.shape), jnp.uint32)
+            bits2 = pltpu.bitcast(pltpu.prng_random_bits(mean.shape), jnp.uint32)
+            u1 = ((bits1 >> 8).astype(jnp.int32).astype(jnp.float32) + 1.0) * (
+                2.0 ** -24
+            )
+            u2 = (bits2 >> 8).astype(jnp.int32).astype(jnp.float32) * (2.0 ** -24)
+            z = jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos((2.0 * np.pi) * u2)
+            pred = mean + jnp.exp(0.5 * logvar) * z
+        else:
+            pred = mean
+        # learned reward rides in the last column; delta targets for obs dims
+        raw_next = pred[:, : out_size - 1]
+        reward = pred[:, out_size - 1 :]
+        next_obs = dmask * (obs + raw_next) + (1.0 - dmask) * raw_next
+        return next_obs, total + reward
+
+    obs0 = obs0_ref[:]
+    total0 = jnp.zeros((obs0.shape[0], 1), jnp.float32)
+    _, total = jax.lax.fori_loop(0, horizon, step, (obs0, total0))
+    out_ref[:] = total
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("out_size", "activation", "tile", "sample", "interpret"),
+)
+def fused_rollout_returns(
+    seed: jax.Array,  # (2,) int32
+    rot_tiles: jax.Array,  # (H,) int32 cumulative tile-granular rotations
+    obs0_rows: jax.Array,  # (B, D) f32 — initial obs per particle row
+    acts_rows: jax.Array,  # (B, H, A) f32 — row-expanded action table
+    delta_mask: jax.Array,  # (1, D) f32 — 1 where target_is_delta applies
+    layer_ws: Tuple[jax.Array, ...],  # each (E, d_in, d_out)
+    layer_bs: Tuple[jax.Array, ...],  # each (E, 1, d_out)
+    head_w: jax.Array,  # (E, hid, 2*out)
+    head_b: jax.Array,  # (E, 1, 2*out)
+    max_logvar: jax.Array,  # (1, out)
+    min_logvar: jax.Array,  # (1, out)
+    out_size: int,
+    activation=jax.nn.silu,
+    tile: int = 800,
+    sample: bool = True,
+    interpret: bool = False,
+) -> jax.Array:
+    """Whole-horizon imagined rollout, one pallas_call: per-row total learned
+    reward (B, 1). Weights stay in VMEM across the full horizon; see block
+    comment above. Requires batch % tile == 0 and shard % tile == 0."""
+    batch, obs_dim = obs0_rows.shape
+    horizon = acts_rows.shape[1]
+    num_members = head_w.shape[0]
+    num_layers = len(layer_ws)
+    assert batch % tile == 0, (batch, tile)
+    num_tiles = batch // tile
+    assert num_tiles % num_members == 0, (num_tiles, num_members)
+    tiles_per_member = num_tiles // num_members
+
+    smem = getattr(pltpu, "SMEM", None)
+    in_specs = [
+        pl.BlockSpec(memory_space=smem),
+        pl.BlockSpec(memory_space=smem),
+        pl.BlockSpec((tile, obs_dim), lambda i: (i, 0), memory_space=_VMEM),
+        pl.BlockSpec(
+            (tile,) + acts_rows.shape[1:], lambda i: (i, 0, 0), memory_space=_VMEM
+        ),
+        pl.BlockSpec(delta_mask.shape, lambda i: (0, 0), memory_space=_VMEM),
+    ]
+    operands: List[jax.Array] = [seed, rot_tiles, obs0_rows, acts_rows, delta_mask]
+    for w, b in zip(layer_ws, layer_bs):
+        in_specs.append(
+            pl.BlockSpec(w.shape, lambda i: (0, 0, 0), memory_space=_VMEM)
+        )
+        in_specs.append(
+            pl.BlockSpec(b.shape, lambda i: (0, 0, 0), memory_space=_VMEM)
+        )
+        operands += [w, b]
+    in_specs.append(
+        pl.BlockSpec(head_w.shape, lambda i: (0, 0, 0), memory_space=_VMEM)
+    )
+    in_specs.append(
+        pl.BlockSpec(head_b.shape, lambda i: (0, 0, 0), memory_space=_VMEM)
+    )
+    operands += [head_w, head_b]
+    for lv in (max_logvar, min_logvar):
+        in_specs.append(
+            pl.BlockSpec(lv.shape, lambda i: (0, 0), memory_space=_VMEM)
+        )
+        operands.append(lv)
+
+    kernel = functools.partial(
+        _rollout_kernel,
+        num_layers,
+        out_size,
+        horizon,
+        tiles_per_member,
+        num_tiles,
+        activation,
+        sample,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(num_tiles,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((tile, 1), lambda i: (i, 0), memory_space=_VMEM),
+        out_shape=jax.ShapeDtypeStruct((batch, 1), jnp.float32),
+        interpret=interpret,
+    )(*operands)
+
+
 def pick_tile(rows_per_member: int, max_tile: int = 1024) -> int | None:
     """Largest divisor of ``rows_per_member`` that is a multiple of 8 and
     <= ``max_tile`` (TPU sublane alignment); None if none exists."""

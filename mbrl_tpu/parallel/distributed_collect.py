@@ -54,6 +54,9 @@ class DistributedCollector:
     def step(self, actions: np.ndarray):
         return self.pool.step(actions)
 
+    def reset_workers(self, indices, seed=None):
+        return self.pool.reset_workers(indices, seed=seed)
+
     def collect(
         self,
         agent,
@@ -89,17 +92,25 @@ class DistributedCollector:
         self.pool.close()
 
 
-def make_env_ctor(cfg):
-    """Picklable/fork-safe env constructor from a config (same factory path as
-    the algorithms' own env, util/env.py)."""
+class _ConfigEnvCtor:
+    """Top-level picklable env constructor: forkserver/spawn workers receive
+    this object (cfg rides along via Config.__getstate__) and build the env
+    inside the child, importing only what the env needs."""
 
-    def ctor():
+    def __init__(self, cfg):
+        self.cfg = cfg
+
+    def __call__(self):
         from mbrl_tpu.util.env import create_handler
 
-        env, *_ = create_handler(cfg).make_env(cfg)
+        env, *_ = create_handler(self.cfg).make_env(self.cfg)
         return env
 
-    return ctor
+
+def make_env_ctor(cfg):
+    """Picklable env constructor from a config (same factory path as the
+    algorithms' own env, util/env.py)."""
+    return _ConfigEnvCtor(cfg)
 
 
 def maybe_make_collector(cfg, seed: int = 0) -> Optional[DistributedCollector]:

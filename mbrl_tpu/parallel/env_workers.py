@@ -20,6 +20,16 @@ import numpy as np
 
 
 def _worker_loop(remote, env_ctor, seed: int):
+    # env workers only step host-side simulators; pin their JAX (pulled in by
+    # env/reward modules) to CPU so a fresh forkserver/spawn child never tries
+    # to claim the remote TPU backend the learner process owns (the env var
+    # alone is not enough — site customization re-registers the tunnel)
+    try:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    except Exception:
+        pass
     env = env_ctor()
     obs, _ = env.reset(seed=seed)
     remote.send(obs)
@@ -50,7 +60,15 @@ class EnvWorkerPool:
     """
 
     def __init__(self, env_ctor: Callable, num_workers: int, seed: int = 0):
-        ctx = mp.get_context("fork")
+        # forkserver (spawn fallback): NEVER fork from the parent — by the time
+        # a pool is built the parent has live JAX runtime threads and a forked
+        # child can deadlock in inherited locks (the round-3 order-dependent
+        # test flake). forkserver children fork from a clean server process;
+        # env_ctor must therefore be picklable (a top-level callable/class).
+        try:
+            ctx = mp.get_context("forkserver")
+        except ValueError:  # pragma: no cover - non-POSIX fallback
+            ctx = mp.get_context("spawn")
         self.num_workers = num_workers
         self._remotes = []
         self._procs = []
@@ -113,6 +131,18 @@ class EnvWorkerPool:
                     episode_rewards.append(float(rewards_sum[i]))
                     rewards_sum[i] = 0.0
         return episode_rewards
+
+    def reset_workers(
+        self, indices, seed: Optional[int] = None
+    ) -> np.ndarray:
+        """Reset only the given workers (e.g. trial_length force-truncation in
+        the batched PETS loop); others keep their in-progress episodes."""
+        indices = np.asarray(indices, int).ravel()
+        for i in indices:
+            self._remotes[i].send(("reset", None if seed is None else seed + int(i)))
+        for i in indices:
+            self.current_obs[i] = self._remotes[i].recv()
+        return self.current_obs
 
     def reset(self, seed: Optional[int] = None) -> np.ndarray:
         for i, remote in enumerate(self._remotes):

@@ -78,6 +78,37 @@ def load_agent(agent_path, env):
         )
         state = sac.load_checkpoint(agent_path / "sac.pkl")
         return SACAgent(sac, state)
+    if cfg.algorithm.name == "pets":
+        # beyond the reference (which only reloads SAC agents): rebuild the
+        # saved ensemble + MPC planner so PETS runs are re-evaluable from
+        # their results dir (scripts/eval_agent.py)
+        import jax
+
+        from mbrl_tpu.config import (
+            complete_agent_cfg,
+            create_one_dim_tr_model,
+            instantiate,
+        )
+        from mbrl_tpu.models import ModelEnv
+        from mbrl_tpu.planning.trajectory_opt import (
+            create_trajectory_optim_agent_for_model,
+        )
+        from mbrl_tpu.util.env import create_handler
+
+        _, term_fn, reward_fn = create_handler(cfg).make_env(cfg)
+        dynamics_model = create_one_dim_tr_model(
+            cfg, env.observation_space.shape, env.action_space.shape
+        )
+        model_state = dynamics_model.init(jax.random.PRNGKey(0))
+        model_state = dynamics_model.load(model_state, agent_path)
+        model_env = ModelEnv(dynamics_model, term_fn, reward_fn)
+        agent_cfg = complete_agent_cfg(env, cfg.algorithm.agent)
+        agent = instantiate(agent_cfg, seed=1)
+        agent = create_trajectory_optim_agent_for_model(
+            model_env, agent, num_particles=cfg.algorithm.num_particles
+        )
+        agent.set_eval_state(model_state)
+        return agent
     raise ValueError(
         f"load_agent does not support algorithm {cfg.algorithm.name!r}"
     )

@@ -95,10 +95,9 @@ def main() -> None:
     from mbrl_tpu.parallel.distributed_collect import DistributedCollector
     from mbrl_tpu.util.replay_buffer import ReplayBuffer
 
-    def _env_ctor():
-        from mbrl_tpu.envs.cartpole_continuous import CartPoleEnv
-
-        return CartPoleEnv()
+    # the class itself is the (picklable) env ctor — forkserver workers
+    # unpickle it by import path
+    from mbrl_tpu.envs.cartpole_continuous import CartPoleEnv as _env_ctor
 
     W = 4
     collector = DistributedCollector(_env_ctor, W, seed=7)

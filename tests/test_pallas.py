@@ -115,3 +115,108 @@ def test_pick_tile():
     assert pick_tile(2048, max_tile=1024) == 1024
     assert pick_tile(7) is None  # no multiple-of-8 divisor
     assert pick_tile(24) == 24
+
+
+def test_fused_rollout_returns_matches_reference(monkeypatch):
+    """Interpret-mode check of the full-horizon weight-stationary kernel
+    (mean path): per-row totals must match a step-by-step jnp replica of the
+    same member schedule, delta targets, and learned-reward accumulation."""
+    from mbrl_tpu.ops.pallas_kernels import fused_rollout_returns
+
+    E, IN, HID = 2, 7, 16  # IN = obs 5 + act 2
+    D, A, OUT = 5, 2, 6  # OUT = obs 5 + learned reward
+    H, TILE = 4, 8
+    B = 32  # 4 tiles, 2 per member
+    ks = jax.random.split(jax.random.PRNGKey(3), 10)
+    ws = (
+        0.2 * jax.random.normal(ks[0], (E, IN, HID)),
+        0.2 * jax.random.normal(ks[1], (E, HID, HID)),
+    )
+    bs = (
+        0.2 * jax.random.normal(ks[2], (E, 1, HID)),
+        0.2 * jax.random.normal(ks[3], (E, 1, HID)),
+    )
+    hw = 0.2 * jax.random.normal(ks[4], (E, HID, 2 * OUT))
+    hb = 0.2 * jax.random.normal(ks[5], (E, 1, 2 * OUT))
+    maxlv = 0.5 * jnp.ones((1, OUT))
+    minlv = -10.0 * jnp.ones((1, OUT))
+    obs0 = jax.random.normal(ks[6], (B, D))
+    acts = jax.random.normal(ks[7], (B, H, A))
+    rot = jnp.array([0, 3, 1, 2], jnp.int32)  # cumulative tile rotations
+    dmask = jnp.ones((1, D)).at[0, 1].set(0.0)  # dim 1 is not a delta
+
+    num_tiles = B // TILE
+    tiles_per_member = num_tiles // E
+
+    def replica():
+        obs = np.asarray(obs0, np.float64).copy()
+        total = np.zeros((B, 1))
+        for t in range(H):
+            for i in range(num_tiles):
+                m = int(((i + int(rot[t])) % num_tiles) // tiles_per_member)
+                rows = slice(i * TILE, (i + 1) * TILE)
+                x = np.concatenate(
+                    [obs[rows], np.asarray(acts)[rows, t]], axis=-1
+                )
+                h = x
+                for w, b in zip(ws, bs):
+                    z = h @ np.asarray(w[m], np.float64) + np.asarray(b[m])
+                    h = z / (1 + np.exp(-z))  # silu
+                out = h @ np.asarray(hw[m], np.float64) + np.asarray(hb[m])
+                mean = out[:, :OUT]
+                raw, reward = mean[:, : OUT - 1], mean[:, OUT - 1 :]
+                nxt = np.asarray(dmask) * (obs[rows] + raw) + (
+                    1 - np.asarray(dmask)
+                ) * raw
+                obs[rows] = nxt
+                total[rows] += reward
+        return total
+
+    got = fused_rollout_returns(
+        jnp.array([7, 8], jnp.int32), rot, obs0, acts, dmask,
+        ws, bs, hw, hb, maxlv, minlv, out_size=OUT,
+        tile=TILE, sample=False, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(got), replica(), rtol=1e-4, atol=1e-4)
+
+
+def test_fast_rollout_full_horizon_kernel_wiring(monkeypatch):
+    """The ModelEnv fast path takes the full-horizon kernel branch when the
+    rollout semantics fit, and returns finite per-sequence values (interpret
+    mode, mean path — the PRNG path needs real TPU hardware)."""
+    import mbrl_tpu.models.fast_rollout as fr
+    import mbrl_tpu.ops.pallas_kernels as pk
+    from mbrl_tpu.envs.termination_fns import no_termination
+    from mbrl_tpu.models import GaussianMLP, ModelEnv, TransitionRewardModel
+
+    monkeypatch.setattr(fr, "_kernel_platform_ok", lambda: True)
+    called = {}
+    orig = pk.fused_rollout_returns
+
+    def interp(*args, **kwargs):
+        called["yes"] = True
+        kwargs["interpret"] = True
+        kwargs["sample"] = False
+        return orig(*args, **kwargs)
+
+    monkeypatch.setattr(pk, "fused_rollout_returns", interp)
+
+    model = GaussianMLP(
+        5 + 2, 5 + 1, num_layers=2, ensemble_size=2, hid_size=16,
+        propagation_method="random_model", rollout_shuffle="rotate",
+        use_pallas=True, pallas_tile=8,
+    )
+    wrapper = TransitionRewardModel(
+        model, target_is_delta=True, normalize=True, learned_rewards=True
+    )
+    state = wrapper.init(jax.random.PRNGKey(0))
+    state = wrapper.set_elite(state, [0, 1])
+    env = ModelEnv(wrapper, no_termination)
+    seqs = 0.1 * jax.random.normal(jax.random.PRNGKey(1), (4, 3, 2))
+    obs0 = jnp.zeros((5,))
+    vals = env.evaluate_action_sequences(
+        state, seqs, obs0, jax.random.PRNGKey(2), num_particles=8
+    )
+    assert called.get("yes"), "full-horizon kernel branch was not taken"
+    assert vals.shape == (4,)
+    assert np.isfinite(np.asarray(vals)).all()

@@ -246,10 +246,7 @@ def test_distributed_collector_slice_to_pool(tmp_path):
     from mbrl_tpu.parallel.distributed_collect import DistributedCollector
     from mbrl_tpu.util.replay_buffer import ReplayBuffer
 
-    def ctor():
-        from tests.test_algorithms import MockLineEnv
-
-        return MockLineEnv()
+    from tests.test_algorithms import MockLineEnv as ctor  # picklable for forkserver
 
     col = DistributedCollector(ctor, num_workers_total=3, seed=5)
     try:
@@ -290,7 +287,7 @@ def test_pets_with_env_workers(tmp_path):
     from mbrl_tpu.parallel import distributed_collect as dc
 
     orig = dc.make_env_ctor
-    dc.make_env_ctor = lambda cfg: (lambda: MockLineEnv())
+    dc.make_env_ctor = lambda cfg: MockLineEnv  # class itself: picklable ctor
     try:
         best = pets.train(
             MockLineEnv(), mock_term_fn, mock_reward_fn, cfg, silent=True,
@@ -330,7 +327,7 @@ def test_mbpo_with_env_workers(tmp_path):
     from mbrl_tpu.parallel import distributed_collect as dc
 
     orig = dc.make_env_ctor
-    dc.make_env_ctor = lambda cfg: (lambda: MockLineEnv())
+    dc.make_env_ctor = lambda cfg: MockLineEnv  # class itself: picklable ctor
     try:
         best = mbpo.train(
             MockLineEnv(), MockLineEnv(), mock_term_fn, cfg, silent=True,
