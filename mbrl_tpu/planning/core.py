@@ -76,7 +76,14 @@ def load_agent(agent_path, env):
             lr=cfg.overrides.sac_lr,
             target_entropy=cfg.overrides.get("sac_target_entropy", None),
         )
-        state = sac.load_checkpoint(agent_path / "sac.pkl")
+        if (agent_path / "sac.pkl").exists():
+            state = sac.load_checkpoint(agent_path / "sac.pkl")
+        else:
+            # reference-trained run dir: torch pranz24 checkpoint
+            # (mbrl/planning/core.py:126-157 reloads these; we convert the
+            # tensors into the jax learner, planning/sac.py
+            # load_torch_checkpoint)
+            state = sac.load_torch_checkpoint(agent_path / "sac.pth")
         return SACAgent(sac, state)
     if cfg.algorithm.name == "pets":
         # beyond the reference (which only reloads SAC agents): rebuild the

@@ -338,6 +338,60 @@ class SAC:
             host = pickle.load(f)
         return jax.tree_util.tree_map(jnp.asarray, host)
 
+    def load_torch_checkpoint(self, ckpt_path) -> SACState:
+        """Load a REFERENCE-format torch checkpoint into a fresh SACState.
+
+        The reference saves ``{policy,critic,critic_target}_state_dict`` of its
+        pranz24 modules (mbrl/third_party/pytorch_sac_pranz24/sac.py:176-192;
+        GaussianPolicy = linear1/linear2 trunk + mean_linear/log_std_linear
+        heads, QNetwork = twin linear1-3 / linear4-6 chains, model.py:36-114).
+        This converts those tensors into this learner's pytree layout (the
+        Gaussian head concatenates [mean | log_std] into one matrix), so agents
+        trained with the reference library keep acting identically here.
+        Adam moments are NOT transferred (optimizer state is
+        framework-specific); optimizers and the alpha restart fresh.
+        """
+        import torch
+
+        ckpt = torch.load(ckpt_path, map_location="cpu", weights_only=True)
+
+        def lin(sd, name):
+            return {
+                "w": jnp.asarray(np.asarray(sd[f"{name}.weight"]).T),
+                "b": jnp.asarray(np.asarray(sd[f"{name}.bias"])),
+            }
+
+        pol = ckpt["policy_state_dict"]
+        trunk = [lin(pol, "linear1"), lin(pol, "linear2")]
+        if self.policy_type == "Gaussian":
+            mean_l = lin(pol, "mean_linear")
+            std_l = lin(pol, "log_std_linear")
+            head = {
+                "w": jnp.concatenate([mean_l["w"], std_l["w"]], axis=1),
+                "b": jnp.concatenate([mean_l["b"], std_l["b"]], axis=0),
+            }
+        else:
+            head = lin(pol, "mean")
+        policy = trunk + [head]
+
+        def critic_params(sd):
+            return {
+                "q1": [lin(sd, "linear1"), lin(sd, "linear2"), lin(sd, "linear3")],
+                "q2": [lin(sd, "linear4"), lin(sd, "linear5"), lin(sd, "linear6")],
+            }
+
+        critic = critic_params(ckpt["critic_state_dict"])
+        return SACState(
+            policy=policy,
+            critic=critic,
+            critic_target=critic_params(ckpt["critic_target_state_dict"]),
+            log_alpha=jnp.log(jnp.float32(self.init_alpha)),
+            policy_opt=self.policy_optimizer.init(policy),
+            critic_opt=self.critic_optimizer.init(critic),
+            alpha_opt=self.alpha_optimizer.init(jnp.zeros(())),
+            updates=jnp.zeros((), jnp.int32),
+        )
+
 
 class SACAgent(Agent):
     """Adapts the SAC learner to the Agent.act API (parity:

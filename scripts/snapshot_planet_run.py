@@ -5,6 +5,7 @@ Copies the CSV logs + config from the (git-ignored) exp work dir into
 state is committable at any point mid-session (VERDICT r2 #10: evidence of
 long runs must live in the repo, success or failure).
 """
+import os
 import pathlib
 import shutil
 import sys
@@ -12,8 +13,11 @@ import sys
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
 REPO = pathlib.Path(__file__).resolve().parent.parent
-SRC = REPO / "exp" / "planet_r3_northstar"
-DST = REPO / "results" / "planet" / "northstar_r3"
+# override with PLANET_WORK_DIR / PLANET_SNAPSHOT_NAME for later rounds
+_RUN = os.environ.get("PLANET_WORK_DIR", "planet_r3_northstar")
+_SNAP = os.environ.get("PLANET_SNAPSHOT_NAME", "northstar_r3")
+SRC = REPO / "exp" / _RUN
+DST = REPO / "results" / "planet" / _SNAP
 
 
 def main() -> None:

@@ -136,3 +136,79 @@ def test_device_buffer_resize_keeps_recent():
     assert int(st2.num_stored) == 4
     got = sorted(np.asarray(st2.obs[:4, 0]).tolist())
     assert got == [5, 6, 7, 8], got
+
+
+def test_load_reference_torch_checkpoint(tmp_path):
+    """Cross-framework interop: a reference-format pranz24 torch checkpoint
+    (policy/critic/critic_target state dicts) loads into the jax learner and
+    produces numerically identical policy means and Q-values."""
+    import torch
+
+    OBS, ACT, HID = 6, 3, 32
+
+    class TorchGaussianPolicy(torch.nn.Module):
+        # same module/attribute names the reference's GaussianPolicy registers
+        def __init__(self):
+            super().__init__()
+            self.linear1 = torch.nn.Linear(OBS, HID)
+            self.linear2 = torch.nn.Linear(HID, HID)
+            self.mean_linear = torch.nn.Linear(HID, ACT)
+            self.log_std_linear = torch.nn.Linear(HID, ACT)
+
+        def forward(self, x):
+            x = torch.relu(self.linear1(x))
+            x = torch.relu(self.linear2(x))
+            return self.mean_linear(x), self.log_std_linear(x)
+
+    class TorchQNetwork(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.linear1 = torch.nn.Linear(OBS + ACT, HID)
+            self.linear2 = torch.nn.Linear(HID, HID)
+            self.linear3 = torch.nn.Linear(HID, 1)
+            self.linear4 = torch.nn.Linear(OBS + ACT, HID)
+            self.linear5 = torch.nn.Linear(HID, HID)
+            self.linear6 = torch.nn.Linear(HID, 1)
+
+        def forward(self, xu):
+            q1 = self.linear3(torch.relu(self.linear2(torch.relu(self.linear1(xu)))))
+            q2 = self.linear6(torch.relu(self.linear5(torch.relu(self.linear4(xu)))))
+            return q1, q2
+
+    torch.manual_seed(0)
+    t_policy, t_critic, t_target = TorchGaussianPolicy(), TorchQNetwork(), TorchQNetwork()
+    ckpt_path = tmp_path / "sac.pth"
+    torch.save(
+        {
+            "policy_state_dict": t_policy.state_dict(),
+            "critic_state_dict": t_critic.state_dict(),
+            "critic_target_state_dict": t_target.state_dict(),
+        },
+        ckpt_path,
+    )
+
+    space = gym.spaces.Box(low=-np.ones(ACT), high=np.ones(ACT), dtype=np.float64)
+    sac = SAC(num_inputs=OBS, action_space=space, hidden_size=HID)
+    state = sac.load_torch_checkpoint(ckpt_path)
+
+    obs = np.random.default_rng(1).normal(size=(5, OBS)).astype(np.float32)
+    with torch.no_grad():
+        t_mean, t_log_std = t_policy(torch.from_numpy(obs))
+    j_mean, j_log_std = sac._policy_dist(state.policy, jnp.asarray(obs))
+    np.testing.assert_allclose(np.asarray(j_mean), t_mean.numpy(), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(j_log_std),
+        np.clip(t_log_std.numpy(), -20.0, 2.0),
+        rtol=1e-5, atol=1e-5,
+    )
+
+    act = np.random.default_rng(2).normal(size=(5, ACT)).astype(np.float32)
+    with torch.no_grad():
+        t_q1, t_q2 = t_critic(torch.from_numpy(np.concatenate([obs, act], axis=1)))
+    j_q1, j_q2 = sac._q_values(state.critic, jnp.asarray(obs), jnp.asarray(act))
+    np.testing.assert_allclose(np.asarray(j_q1), t_q1.numpy(), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(j_q2), t_q2.numpy(), rtol=1e-5, atol=1e-5)
+
+    # deterministic eval action goes through the tanh-squash + rescale path
+    a = sac.select_action(state, obs[0], jax.random.PRNGKey(0), evaluate=True)
+    assert a.shape == (ACT,) and np.isfinite(a).all()
