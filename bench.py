@@ -96,6 +96,14 @@ def rollout_roofline(peak_flops: float, hbm_bw: float, num_elites: int = 5) -> d
     t_bw = step_bytes / hbm_bw
     t_step = max(t_compute, t_bw)
     attainable_steps_per_s = rows_per_step / t_step
+    # weight-resident bound (full-horizon Pallas kernel): weights move once
+    # per PLAN and activations never leave VMEM — HBM traffic per step is
+    # only the action slab in and 1/H of the weights+returns
+    res_bytes = (
+        num_elites * weight_bytes / HORIZON
+        + rows_per_step * 4 * (ACT_DIM + 1.0 / HORIZON)
+    )
+    t_res = max(t_compute, res_bytes / hbm_bw)
     return {
         "mxu_padding_fraction": round(pad_fraction, 3),
         "bytes_per_step": round(step_bytes),
@@ -103,11 +111,12 @@ def rollout_roofline(peak_flops: float, hbm_bw: float, num_elites: int = 5) -> d
         "ridge_flops_per_byte": round(peak_flops / hbm_bw, 1),
         "bound": "compute" if t_compute >= t_bw else "bandwidth",
         "attainable_steps_per_s": round(attainable_steps_per_s),
+        "attainable_steps_per_s_resident": round(rows_per_step / t_res),
         "mfu_attainable": round(step_flops / t_step / peak_flops, 4),
     }
 
 
-def _build_env(use_pallas: bool = False):
+def _build_env(use_pallas: bool = False, bf16: bool = False):
     import jax
 
     # persistent compilation cache: repeat bench runs skip the (remote) compile
@@ -137,6 +146,8 @@ def _build_env(use_pallas: bool = False):
         # fused Pallas MLP+Gaussian-sample kernel (ops/pallas_kernels.py) when
         # benching the kernel path
         use_pallas=use_pallas,
+        # bf16 weight stack: full-rate MXU with f32 accumulation
+        compute_dtype="bfloat16" if bf16 else jnp.float32,
     )
     wrapper = TransitionRewardModel(
         model, target_is_delta=True, normalize=True, learned_rewards=True,
@@ -256,35 +267,41 @@ def _save_state(state: dict) -> None:
 
 
 def _pallas_child() -> None:
-    """Amortized rollout throughput with the fused Pallas MLP+Gaussian kernel
-    (use_pallas=True): apples-to-apples against device_steps_per_s."""
+    """Amortized rollout throughput with the Pallas kernels (use_pallas=True):
+    apples-to-apples against device_steps_per_s. Round 4: the full-horizon
+    weight-stationary kernel engages on this config (learned reward, pure
+    delta, no termination); measured in f32 and bf16 weight stacks."""
     import jax
 
-    env, state, seqs, obs0 = _build_env(use_pallas=True)
     K = 32
-
-    @jax.jit
-    def many_plans(state, keys):
-        def one(carry, k):
-            v = env._evaluate_impl(state, seqs, obs0, k, num_particles=PARTICLES)
-            return carry + v.sum(), None
-
-        total, _ = jax.lax.scan(one, 0.0, keys)
-        return total
-
     key = jax.random.PRNGKey(4)
-    float(many_plans(state, jax.random.split(key, K)))  # compile
-    times = []
-    for i in range(3):
-        keys = jax.random.split(jax.random.fold_in(key, i), K)
-        start = time.perf_counter()
-        float(many_plans(state, keys))
-        times.append(time.perf_counter() - start)
-    print(
-        json.dumps(
-            {"pallas_steps_per_s": K * TRANSITIONS_PER_PLAN / min(times)}
-        )
-    )
+
+    def measure(bf16: bool) -> float:
+        env, state, seqs, obs0 = _build_env(use_pallas=True, bf16=bf16)
+
+        @jax.jit
+        def many_plans(state, keys):
+            def one(carry, k):
+                v = env._evaluate_impl(
+                    state, seqs, obs0, k, num_particles=PARTICLES
+                )
+                return carry + v.sum(), None
+
+            total, _ = jax.lax.scan(one, 0.0, keys)
+            return total
+
+        float(many_plans(state, jax.random.split(key, K)))  # compile
+        times = []
+        for i in range(3):
+            keys = jax.random.split(jax.random.fold_in(key, i), K)
+            start = time.perf_counter()
+            float(many_plans(state, keys))
+            times.append(time.perf_counter() - start)
+        return K * TRANSITIONS_PER_PLAN / min(times)
+
+    print(json.dumps({"pallas_steps_per_s": measure(bf16=False)}))
+    sys.stdout.flush()
+    print(json.dumps({"pallas_bf16_steps_per_s": measure(bf16=True)}))
 
 
 def _agent_act_child() -> None:
@@ -577,6 +594,18 @@ def main() -> None:
         # report the most recent stable on-hardware measurement with a flag
         primary, plans, mode = 89_366_000.0, 372.0, "cached(compile-timeout)"
 
+    # the full-horizon weight-stationary kernel is a production-usable opt-in
+    # (gaussian_mlp_ensemble_pallas); if it measured faster than the XLA path
+    # on this hardware, it is the headline number
+    best_pallas = max(
+        float(measured.get("pallas_steps_per_s", 0.0) or 0.0),
+        float(measured.get("pallas_bf16_steps_per_s", 0.0) or 0.0),
+    )
+    if best_pallas > primary:
+        primary = best_pallas
+        plans = primary / TRANSITIONS_PER_PLAN
+        mode += "+pallas"
+
     # speed-of-light accounting: achieved matmul FLOP/s through the rollout and
     # the fraction of the chip's bf16 peak it represents (VERDICT: report MFU)
     achieved_flops = primary * FLOPS_PER_TRANSITION
@@ -617,6 +646,9 @@ def main() -> None:
                 measured.get("closed_loop_plans_per_s", 0.0), 2
             ),
             "pallas_steps_per_s": round(measured.get("pallas_steps_per_s", 0.0)),
+            "pallas_bf16_steps_per_s": round(
+                measured.get("pallas_bf16_steps_per_s", 0.0)
+            ),
             "flops_per_transition": FLOPS_PER_TRANSITION,
             "effective_tflops": round(achieved_flops / 1e12, 2),
             "mfu_vs_bf16_peak": round(achieved_flops / peak, 4) if peak else None,
@@ -624,7 +656,15 @@ def main() -> None:
             # ceilings; fraction_of_attainable is the honest utilization
             "roofline": roofline,
             "fraction_of_attainable": (
-                round(primary / roofline["attainable_steps_per_s"], 3)
+                round(
+                    primary
+                    / roofline[
+                        "attainable_steps_per_s_resident"
+                        if mode.endswith("+pallas")
+                        else "attainable_steps_per_s"
+                    ],
+                    3,
+                )
                 if roofline
                 else None
             ),

@@ -189,7 +189,6 @@ def evaluate_action_sequences_sharded(
         and reward_fn is None
         and learned_rewards
         and target_is_delta
-        and not low_precision
         and _is_trivial_termination(termination_fn)
     ):
         import mbrl_tpu.ops.pallas_kernels as _pk

@@ -142,14 +142,20 @@ def _rollout_kernel(
     num_layers: int,
     out_size: int,
     horizon: int,
+    act_dim: int,
     tiles_per_member: int,
     num_tiles: int,
     activation,
     sample: bool,
     *refs,
 ):
-    """refs: seed(SMEM 2), rot(SMEM H), obs0, acts, delta_mask,
-    (w_i, b_i)*L, w_head, b_head, max_logvar, min_logvar, out."""
+    """refs: seed(SMEM 2), rot(SMEM H), obs0, acts_flat, delta_mask,
+    (w_i, b_i)*L, w_head, b_head, max_logvar, min_logvar, out.
+
+    The horizon loop is PYTHON-UNROLLED: actions arrive flattened as
+    (tile, H*A) so each step's action slab is a STATIC lane slice — a
+    (tile, H, A) block would pad its last two dims to (32, 128) tiles and
+    blow the VMEM budget ~20x at PETS shapes (A=6)."""
     seed_ref, rot_ref, obs0_ref, acts_ref, dmask_ref = refs[:5]
     out_ref = refs[-1]
     min_lv_ref = refs[-2]
@@ -158,7 +164,7 @@ def _rollout_kernel(
     i = pl.program_id(0)
     if sample:
         # one stream per tile program for the whole horizon (bits calls
-        # advance the per-core PRNG state across fori_loop iterations)
+        # advance the per-core PRNG state across the unrolled steps)
         pltpu.prng_seed(
             seed_ref[0] + i * jnp.int32(-1640531527),  # 0x9E3779B9
             seed_ref[1] + i * jnp.int32(-2049693685),  # 0x85EBCA6B
@@ -167,17 +173,25 @@ def _rollout_kernel(
     min_lv = min_lv_ref[:]
     dmask = dmask_ref[:]  # (1, D) 1.0 where target is a delta
 
-    def step(t, carry):
-        obs, total = carry  # (tile, D), (tile, 1)
+    obs = obs0_ref[:]
+    total = jnp.zeros((obs.shape[0], 1), jnp.float32)
+    for t in range(horizon):
         m = ((i + rot_ref[t]) % num_tiles) // tiles_per_member
-        x = jnp.concatenate([obs, acts_ref[:, t, :]], axis=-1)
+        act_t = acts_ref[:, t * act_dim : (t + 1) * act_dim]
+        x = jnp.concatenate([obs, act_t], axis=-1)
         h = x
         for l in range(num_layers):
             w = layer_refs[2 * l][m]
             b = layer_refs[2 * l + 1][m]
+            if h.dtype != w.dtype:
+                # bf16 weight stack: full-rate MXU with f32 accumulation; the
+                # carry/head/reward math stays f32
+                h = h.astype(w.dtype)
             h = activation(jnp.dot(h, w, preferred_element_type=jnp.float32) + b)
         w_head = layer_refs[2 * num_layers][m]
         b_head = layer_refs[2 * num_layers + 1][m]
+        if h.dtype != w_head.dtype:
+            h = h.astype(w_head.dtype)
         out = jnp.dot(h, w_head, preferred_element_type=jnp.float32) + b_head
         mean = out[:, :out_size]
         logvar = out[:, out_size:]
@@ -197,12 +211,8 @@ def _rollout_kernel(
         # learned reward rides in the last column; delta targets for obs dims
         raw_next = pred[:, : out_size - 1]
         reward = pred[:, out_size - 1 :]
-        next_obs = dmask * (obs + raw_next) + (1.0 - dmask) * raw_next
-        return next_obs, total + reward
-
-    obs0 = obs0_ref[:]
-    total0 = jnp.zeros((obs0.shape[0], 1), jnp.float32)
-    _, total = jax.lax.fori_loop(0, horizon, step, (obs0, total0))
+        obs = dmask * (obs + raw_next) + (1.0 - dmask) * raw_next
+        total = total + reward
     out_ref[:] = total
 
 
@@ -232,13 +242,16 @@ def fused_rollout_returns(
     reward (B, 1). Weights stay in VMEM across the full horizon; see block
     comment above. Requires batch % tile == 0 and shard % tile == 0."""
     batch, obs_dim = obs0_rows.shape
-    horizon = acts_rows.shape[1]
+    horizon, act_dim = acts_rows.shape[1:]
     num_members = head_w.shape[0]
     num_layers = len(layer_ws)
     assert batch % tile == 0, (batch, tile)
     num_tiles = batch // tile
     assert num_tiles % num_members == 0, (num_tiles, num_members)
     tiles_per_member = num_tiles // num_members
+    # flatten to (B, H*A): a 3-D (tile, H, A) block would tile-pad (H, A) to
+    # (32, 128) and blow VMEM ~20x at small action dims
+    acts_flat = acts_rows.reshape(batch, horizon * act_dim)
 
     smem = getattr(pltpu, "SMEM", None)
     in_specs = [
@@ -246,11 +259,11 @@ def fused_rollout_returns(
         pl.BlockSpec(memory_space=smem),
         pl.BlockSpec((tile, obs_dim), lambda i: (i, 0), memory_space=_VMEM),
         pl.BlockSpec(
-            (tile,) + acts_rows.shape[1:], lambda i: (i, 0, 0), memory_space=_VMEM
+            (tile, horizon * act_dim), lambda i: (i, 0), memory_space=_VMEM
         ),
         pl.BlockSpec(delta_mask.shape, lambda i: (0, 0), memory_space=_VMEM),
     ]
-    operands: List[jax.Array] = [seed, rot_tiles, obs0_rows, acts_rows, delta_mask]
+    operands: List[jax.Array] = [seed, rot_tiles, obs0_rows, acts_flat, delta_mask]
     for w, b in zip(layer_ws, layer_bs):
         in_specs.append(
             pl.BlockSpec(w.shape, lambda i: (0, 0, 0), memory_space=_VMEM)
@@ -277,6 +290,7 @@ def fused_rollout_returns(
         num_layers,
         out_size,
         horizon,
+        act_dim,
         tiles_per_member,
         num_tiles,
         activation,

@@ -15,7 +15,11 @@ import jax
 def wait_for_backend(max_minutes: float = 180.0, retry_s: float = 60.0) -> None:
     """Block until ``jax.devices()`` succeeds, retrying failed initialization
     (clearing cached backend state between attempts); raises the last error
-    once ``max_minutes`` is exhausted."""
+    once ``max_minutes`` is exhausted. ``MBRL_TPU_WAIT_MINUTES`` overrides the
+    budget (long unattended sessions ride out multi-hour pool outages)."""
+    import os
+
+    max_minutes = float(os.environ.get("MBRL_TPU_WAIT_MINUTES", max_minutes))
     deadline = time.time() + max_minutes * 60
     attempt = 0
     while True:
