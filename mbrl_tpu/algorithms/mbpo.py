@@ -226,16 +226,16 @@ def train(
     # single-env semantics
     from mbrl_tpu.parallel.distributed_collect import maybe_make_collector
 
-    collector = maybe_make_collector(cfg, seed=(cfg.seed or 0) + 100)
-    if collector is not None and collector.num_workers_total > int(
-        cfg.overrides.freq_train_model
-    ):
+    # reject pools wider than the retrain cadence BEFORE spawning workers
+    # (a batched step would cross freq_train_model more than once)
+    _wg = int(cfg.overrides.get("num_env_workers", 0) or 0)
+    if _wg > int(cfg.overrides.freq_train_model):
         raise ValueError(
-            f"num_env_workers={collector.num_workers_total} exceeds "
-            f"freq_train_model={cfg.overrides.freq_train_model}: one batched "
-            "step would cross the retrain cadence more than once; lower the "
-            "pool width"
+            f"num_env_workers={_wg} exceeds freq_train_model="
+            f"{cfg.overrides.freq_train_model}: one batched step would cross "
+            "the retrain cadence more than once; lower the pool width"
         )
+    collector = maybe_make_collector(cfg, seed=(cfg.seed or 0) + 100)
 
     resume_snap = None
     if cfg.get("resume", False):

@@ -162,6 +162,15 @@ def train(
     # all local workers' actions; the reference plans one obs at a time)
     from mbrl_tpu.parallel.distributed_collect import maybe_make_collector
 
+    # reject pools wider than the retrain cadence BEFORE spawning workers
+    # (a batched step would cross freq_train_model more than once)
+    _wg = int(cfg.overrides.get("num_env_workers", 0) or 0)
+    if _wg > cfg.algorithm.freq_train_model:
+        raise ValueError(
+            f"num_env_workers={_wg} exceeds freq_train_model="
+            f"{cfg.algorithm.freq_train_model}: a single batched step would "
+            "cross the retrain cadence more than once; lower the pool width"
+        )
     collector = maybe_make_collector(cfg, seed=(cfg.seed or 0) + 100)
 
     # --------------------- Training Loop ---------------------
@@ -190,12 +199,6 @@ def train(
         # budgets and cadences are invariant to the process count (r3 advice).
         w = collector.num_local_workers
         wg = collector.num_workers_total
-        if wg > cfg.algorithm.freq_train_model:
-            raise ValueError(
-                f"num_env_workers={wg} exceeds freq_train_model="
-                f"{cfg.algorithm.freq_train_model}: a single batched step would "
-                "cross the retrain cadence more than once; lower the pool width"
-            )
         # the single-env loop truncates trials at overrides.trial_length; the
         # batched loop must too — shipped configs (pets_halfcheetah etc.) have
         # no TimeLimit wrapper and never terminate on their own (r3 advice)

@@ -346,3 +346,97 @@ def test_multihost_dryrun_two_processes():
     from mbrl_tpu.parallel.multihost import run_multihost_dryrun
 
     run_multihost_dryrun(num_processes=2, devices_per_process=4)
+
+
+import sys as _sys
+
+_sys.path.insert(0, str(pathlib.Path(__file__).parent))
+from test_algorithms import MockLineEnv as _MockLineEnv  # noqa: E402
+
+
+class NoTermLineEnv(_MockLineEnv):
+    """MockLineEnv without self-truncation: episodes only end if the caller
+    enforces trial_length (regression for the r3 advisor finding that the
+    batched PETS loop never truncated such envs). Top-level class so
+    forkserver workers can unpickle it by reference."""
+
+    def step(self, action):
+        obs, reward, terminated, truncated, info = super().step(action)
+        self.time_left = 10_000  # never self-truncate
+        return obs, reward, terminated, False, info
+
+
+def make_no_term_line_env():
+    return NoTermLineEnv()
+
+
+def test_pets_batched_trial_length_truncation(tmp_path):
+    """With a never-terminating env, the batched loop must still end episodes
+    at overrides.trial_length, reset those workers, and log episode rewards
+    (r3 advisor, medium)."""
+    import csv
+    import mbrl_tpu.algorithms.pets as pets
+    from mbrl_tpu.config import load_config
+    from tests.test_algorithms import mock_term_fn, mock_reward_fn, _CONF_DIR
+
+    cfg = load_config(_CONF_DIR, "main", overrides=[
+        "algorithm=pets", "overrides=pets_cartpole",
+        "overrides.env=mock", "overrides.num_env_workers=2",
+        "overrides.num_steps=60", "overrides.trial_length=10",
+        "algorithm.initial_exploration_steps=30",
+        "algorithm.freq_train_model=30",
+        "overrides.num_epochs_train_model=1",
+        "overrides.model_batch_size=16",
+        "overrides.cem_population_size=16", "overrides.cem_num_iters=2",
+        "overrides.planning_horizon=3", "algorithm.num_particles=4",
+        "dynamics_model.ensemble_size=2", "dynamics_model.hid_size=16",
+        "dynamics_model.num_layers=2",
+        "seed=0",
+    ])
+    from mbrl_tpu.parallel import distributed_collect as dc
+
+    orig = dc.make_env_ctor
+    dc.make_env_ctor = lambda cfg: NoTermLineEnv
+    try:
+        best = pets.train(
+            NoTermLineEnv(), mock_term_fn, mock_reward_fn, cfg, silent=False,
+            work_dir=str(tmp_path),
+        )
+    finally:
+        dc.make_env_ctor = orig
+    assert np.isfinite(float(best)), "no episode ever finished"
+    with open(tmp_path + "/results.csv" if isinstance(tmp_path, str)
+              else tmp_path / "results.csv") as f:
+        rows = list(csv.DictReader(f))
+    # 60 steps / (2 workers x trial_length 10) -> 3 truncation rounds x 2 workers
+    assert len(rows) >= 4, rows
+
+
+def test_batched_pool_wider_than_cadence_rejected(tmp_path):
+    """num_env_workers > freq_train_model would skip retrain crossings; both
+    algorithms reject it at startup (r3 advisor)."""
+    import mbrl_tpu.algorithms.pets as pets
+    from mbrl_tpu.config import load_config
+    from tests.test_algorithms import MockLineEnv, mock_term_fn, mock_reward_fn, _CONF_DIR
+
+    cfg = load_config(_CONF_DIR, "main", overrides=[
+        "algorithm=pets", "overrides=pets_cartpole",
+        "overrides.env=mock", "overrides.num_env_workers=4",
+        "overrides.num_steps=20",
+        "algorithm.initial_exploration_steps=10",
+        "algorithm.freq_train_model=2",
+        "dynamics_model.ensemble_size=2", "dynamics_model.hid_size=16",
+        "dynamics_model.num_layers=2", "seed=0",
+    ])
+    from mbrl_tpu.parallel import distributed_collect as dc
+
+    orig = dc.make_env_ctor
+    dc.make_env_ctor = lambda cfg: MockLineEnv
+    try:
+        with pytest.raises(ValueError, match="freq_train_model"):
+            pets.train(
+                MockLineEnv(), mock_term_fn, mock_reward_fn, cfg, silent=True,
+                work_dir=str(tmp_path),
+            )
+    finally:
+        dc.make_env_ctor = orig
