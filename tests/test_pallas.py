@@ -220,3 +220,34 @@ def test_fast_rollout_full_horizon_kernel_wiring(monkeypatch):
     assert called.get("yes"), "full-horizon kernel branch was not taken"
     assert vals.shape == (4,)
     assert np.isfinite(np.asarray(vals)).all()
+
+
+def test_fused_rollout_returns_bf16_close_to_f32():
+    """bf16 weight stacks through the full-horizon kernel stay close to the
+    f32 result (f32 accumulation bounds the drift at these depths)."""
+    from mbrl_tpu.ops.pallas_kernels import fused_rollout_returns
+
+    E, IN, HID = 2, 7, 16
+    D, OUT, H, TILE, B = 5, 6, 3, 8, 16
+    ks = jax.random.split(jax.random.PRNGKey(9), 8)
+    ws = tuple(0.2 * jax.random.normal(k, (E, IN if i == 0 else HID, HID))
+               for i, k in enumerate(ks[:2]))
+    bs = tuple(0.2 * jax.random.normal(k, (E, 1, HID)) for k in ks[2:4])
+    hw = 0.2 * jax.random.normal(ks[4], (E, HID, 2 * OUT))
+    hb = 0.2 * jax.random.normal(ks[5], (E, 1, 2 * OUT))
+    maxlv, minlv = 0.5 * jnp.ones((1, OUT)), -10.0 * jnp.ones((1, OUT))
+    obs0 = jax.random.normal(ks[6], (B, D))
+    acts = jax.random.normal(ks[7], (B, H, 2))
+    rot = jnp.array([0, 1, 1], jnp.int32)
+    dmask = jnp.ones((1, D))
+    seed = jnp.array([1, 2], jnp.int32)
+
+    args = (seed, rot, obs0, acts, dmask)
+    kw = dict(out_size=OUT, tile=TILE, sample=False, interpret=True)
+    f32 = fused_rollout_returns(*args, ws, bs, hw, hb, maxlv, minlv, **kw)
+    bf = fused_rollout_returns(
+        *args,
+        tuple(w.astype(jnp.bfloat16) for w in ws), bs,
+        hw.astype(jnp.bfloat16), hb, maxlv, minlv, **kw,
+    )
+    np.testing.assert_allclose(np.asarray(bf), np.asarray(f32), rtol=0.15, atol=0.15)
