@@ -111,3 +111,36 @@ def test_fast_dynamics_model_variant_builds():
     assert model.ensemble_size == 7
     state = wrapper.init(__import__("jax").random.PRNGKey(0))
     assert "params" in state and "normalizer" in state
+
+
+def test_cli_run_creates_run_dir_and_trains(tmp_path):
+    """The reference's primary entry surface (examples/main.py): compose config
+    with overrides, create env+fns, train PETS tiny, leave a timestamped run
+    dir with config.yaml + results.csv."""
+    import pathlib
+
+    import numpy as np
+
+    import mbrl_tpu.examples.main as cli
+    from mbrl_tpu.config import load_config
+
+    conf = pathlib.Path(cli.__file__).parent / "conf"
+    cfg = load_config(conf, "main", overrides=[
+        "algorithm=pets", "overrides=pets_cartpole",
+        f"root_dir={tmp_path}",
+        "overrides.num_steps=30", "overrides.trial_length=15",
+        "algorithm.initial_exploration_steps=20",
+        "algorithm.freq_train_model=15",
+        "overrides.num_epochs_train_model=1",
+        "overrides.model_batch_size=8",
+        "overrides.cem_population_size=16", "overrides.cem_num_iters=2",
+        "overrides.planning_horizon=3", "algorithm.num_particles=4",
+        "dynamics_model.ensemble_size=2", "dynamics_model.hid_size=16",
+        "dynamics_model.num_layers=2", "seed=0",
+    ])
+    best = cli.run(cfg)
+    assert np.isfinite(best)
+    run_dirs = list(tmp_path.glob("pets/*/cartpole_continuous/*/*"))
+    assert len(run_dirs) == 1
+    assert (run_dirs[0] / "config.yaml").exists()
+    assert (run_dirs[0] / "results.csv").exists()
