@@ -18,6 +18,12 @@ import sys
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 os.environ.setdefault("MUJOCO_GL", "egl")
 
+import jax
+
+if os.environ.get("MBRL_TPU_PLATFORM"):
+    # site customization pins the tunneled TPU; CPU re-evals override in-process
+    jax.config.update("jax_platforms", os.environ["MBRL_TPU_PLATFORM"])
+
 import numpy as np
 import yaml
 
