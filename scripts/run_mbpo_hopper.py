@@ -23,6 +23,11 @@ import numpy as np
 import yaml
 
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+import os
+
+if os.environ.get("MBRL_TPU_PLATFORM"):
+    # site customization pins the tunneled TPU; CPU runs override in-process
+    jax.config.update("jax_platforms", os.environ["MBRL_TPU_PLATFORM"])
 
 from mbrl_tpu.util.backend import wait_for_backend
 import mbrl_tpu.algorithms.mbpo as mbpo
