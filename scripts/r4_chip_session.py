@@ -194,7 +194,8 @@ def phase_pets_hc() -> None:
     work_dir = REPO / "exp" / "pets_halfcheetah_northstar"
     work_dir.mkdir(parents=True, exist_ok=True)
     chunk_steps = 3000
-    while remaining() > 300:
+    stop_at = time.time() + min(remaining() - 300, PETS_MINUTES * 60)
+    while time.time() < stop_at:
         latest = ckpt.latest_checkpoint(str(work_dir))
         done = 0
         if latest is not None:
@@ -226,12 +227,57 @@ def phase_pets_hc() -> None:
     print("pets_hc phase done", flush=True)
 
 
+def phase_mbpo_hopper() -> None:
+    """Continue the CPU-started hopper run on the chip (shared work dir +
+    checkpoints: exp/mbpo_hopper_northstar), in step chunks."""
+    import mbrl_tpu.algorithms.mbpo as mbpo
+    import mbrl_tpu.util.checkpoint as ckpt
+    from mbrl_tpu.config import load_config, to_dict
+    from mbrl_tpu.util.env import create_handler
+
+    work_dir = REPO / "exp" / "mbpo_hopper_northstar"
+    work_dir.mkdir(parents=True, exist_ok=True)
+    chunk_steps = 5000
+    while remaining() > 300:
+        latest = ckpt.latest_checkpoint(str(work_dir))
+        done = 0
+        if latest is not None:
+            try:
+                done = int(ckpt.restore_checkpoint(latest)["env_steps"])
+            except Exception:
+                done = 0
+        cfg = load_config(
+            REPO / "mbrl_tpu" / "examples" / "conf",
+            "main",
+            overrides=[
+                "algorithm=mbpo",
+                "overrides=mbpo_hopper",
+                f"overrides.num_steps={done + chunk_steps}",
+                "checkpoint_every=1000",
+                "resume=true",
+                "debug_mode=true",
+                "seed=0",
+            ],
+        )
+        env, term_fn, _ = create_handler(cfg).make_env(cfg)
+        test_env, *_ = create_handler(cfg).make_env(cfg)
+        np.random.seed(cfg.seed)
+        with open(work_dir / "config.yaml", "w") as f:
+            yaml.safe_dump(to_dict(cfg), f)
+        print(f"mbpo_hopper chunk -> step {done + chunk_steps} "
+              f"({remaining()/60:.0f} min left)", flush=True)
+        best = mbpo.train(env, test_env, term_fn, cfg, work_dir=str(work_dir))
+        print(f"mbpo_hopper chunk done, best={float(best)}", flush=True)
+    print("mbpo_hopper phase done", flush=True)
+
+
 PHASES = {
     "bench": phase_bench,
     "dispatch": phase_dispatch,
     "mesh": phase_mesh,
     "planet": phase_planet,
     "pets_hc": phase_pets_hc,
+    "mbpo_hopper": phase_mbpo_hopper,
 }
 
 
