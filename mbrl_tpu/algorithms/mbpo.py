@@ -343,7 +343,8 @@ def train(
         env_steps = int(resume_snap["env_steps"])
         epoch = int(resume_snap["epoch"])
         updates_made = int(resume_snap["updates_made"])
-        best_eval_reward = float(resume_snap["best_eval_reward"])
+        _ber = resume_snap["best_eval_reward"]
+        best_eval_reward = -np.inf if _ber is None else float(_ber)
         print(f"Resumed at env step {env_steps} (epoch {epoch}).")
 
     while env_steps < cfg.overrides.num_steps:
@@ -467,7 +468,14 @@ def train(
                             "env_steps": env_steps,
                             "epoch": epoch,
                             "updates_made": updates_made,
-                            "best_eval_reward": best_eval_reward,
+                            # None before the first eval: the NaN-refusing
+                            # validator must not mistake the -inf sentinel
+                            # for divergence
+                            "best_eval_reward": (
+                                float(best_eval_reward)
+                                if np.isfinite(best_eval_reward)
+                                else None
+                            ),
                         },
                         step=env_steps,
                     )

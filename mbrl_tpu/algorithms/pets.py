@@ -187,7 +187,8 @@ def train(
         key = resume_snap["key"]
         env_steps = int(resume_snap["env_steps"])
         current_trial = int(resume_snap["current_trial"])
-        max_total_reward = float(resume_snap["max_total_reward"])
+        _mtr = resume_snap["max_total_reward"]
+        max_total_reward = -np.inf if _mtr is None else float(_mtr)
         agent.set_eval_state(model_state)
         print(f"Resumed at env step {env_steps}.")
     checkpoint_every = cfg.get("checkpoint_every", 0)
@@ -224,7 +225,14 @@ def train(
                         "key": key,
                         "env_steps": env_steps,
                         "current_trial": current_trial,
-                        "max_total_reward": max_total_reward,
+                        # None while no episode has finished: the
+                        # NaN-refusing validator must not mistake the
+                        # -inf sentinel for divergence
+                        "max_total_reward": (
+                            float(max_total_reward)
+                            if np.isfinite(max_total_reward)
+                            else None
+                        ),
                     },
                     step=env_steps,
                 )
@@ -280,7 +288,14 @@ def train(
                         "key": key,
                         "env_steps": env_steps,
                         "current_trial": current_trial,
-                        "max_total_reward": max_total_reward,
+                        # None while no episode has finished: the
+                        # NaN-refusing validator must not mistake the
+                        # -inf sentinel for divergence
+                        "max_total_reward": (
+                            float(max_total_reward)
+                            if np.isfinite(max_total_reward)
+                            else None
+                        ),
                     },
                     step=env_steps,
                 )

@@ -53,3 +53,21 @@ def test_trace_annotation_compiles():
     with annotate("test-phase"):
         y = jnp.ones(4) * 2
     assert float(y.sum()) == 8.0
+
+
+def test_checkpoint_sentinel_none_allowed_inf_rejected(tmp_path):
+    """Counters that legitimately start at -inf are checkpointed as None (the
+    r4 hopper crash: the first checkpoint fired before any eval and the
+    validator refused the -inf best-reward sentinel); raw non-finite floats
+    still refuse to persist."""
+    import numpy as np
+    import pytest
+
+    from mbrl_tpu.util import checkpoint as ckpt
+
+    ckpt.save_checkpoint(tmp_path, {"x": np.ones(3), "best": None}, step=1)
+    restored = ckpt.restore_checkpoint(ckpt.latest_checkpoint(tmp_path))
+    assert restored["best"] is None
+
+    with pytest.raises(ckpt.NonFiniteCheckpointError):
+        ckpt.save_checkpoint(tmp_path, {"x": np.float32(-np.inf)}, step=2)
