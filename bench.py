@@ -546,7 +546,10 @@ def _probe_device_kind(timeout_s: int = 120):
 
 
 def main() -> None:
-    deadline = time.monotonic() + float(os.environ.get("BENCH_DEADLINE_S", "1500"))
+    # default sized so a fully-dead backend (every child hangs to its timeout)
+    # still emits the JSON line well inside the driver's budget; raise via env
+    # for long interactive measurement sessions
+    deadline = time.monotonic() + float(os.environ.get("BENCH_DEADLINE_S", "600"))
     state = _load_state()
     fresh: dict = {}
     # (child flag, sentinel key that marks the piece complete, per-try budget)
