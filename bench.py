@@ -545,23 +545,46 @@ def _probe_device_kind(timeout_s: int = 120):
     return kind_box.get("kind")
 
 
+def _load_last_measured() -> dict:
+    """Committed provenanced fallback (bench_state_last_measured.json): the
+    last genuinely measured on-hardware figures with device kind + timestamp,
+    so a dead backend reports a cited artifact, not constants in code."""
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_state_last_measured.json"
+    )
+    try:
+        with open(path) as f:
+            return json.load(f)
+    except Exception:
+        return {}
+
+
 def main() -> None:
-    # default sized so a fully-dead backend (every child hangs to its timeout)
-    # still emits the JSON line well inside the driver's budget; raise via env
-    # for long interactive measurement sessions
+    # BENCH_DEADLINE_S bounds the TOTAL attempt budget. The default (600 s) is
+    # sized so a fully-dead backend (every child hangs to its timeout) still
+    # emits the JSON line inside the driver's end-of-round budget — it is
+    # deliberately BELOW the sum of first-attempt piece budgets, so on a
+    # healthy-but-slow-compiling backend the tail pieces (agent-act,
+    # closed-loop, pallas) may be reported from state. Interactive measurement
+    # sessions should raise it (e.g. BENCH_DEADLINE_S=3600) or run the pieces
+    # in-process via scripts/r4_chip_session.py phase_bench, which has no
+    # per-piece subprocess timeouts at all.
     deadline = time.monotonic() + float(os.environ.get("BENCH_DEADLINE_S", "600"))
     state = _load_state()
     fresh: dict = {}
-    # (child flag, sentinel key that marks the piece complete, per-try budget)
+    # (child flag, sentinel keys that mark the piece complete, per-try budget);
+    # ALL sentinels must appear before the retry loop stops, so a child that
+    # crashes after flushing its first line (e.g. pallas f32 ok, bf16 dead)
+    # is retried rather than silently reported from stale state
     pieces = [
-        ("--dispatch-child", "dispatch_plans_per_s", 300),
-        ("--amortized-child", "device_steps_per_s", 300),
-        ("--cem-child", "cem_plans_per_s_amortized", 300),
-        ("--agent-act-child", "agent_act_plans_per_s", 240),
-        ("--closed-loop-child", "closed_loop_plans_per_s", 240),
-        ("--pallas-child", "pallas_steps_per_s", 240),
+        ("--dispatch-child", ("dispatch_plans_per_s",), 300),
+        ("--amortized-child", ("device_steps_per_s",), 300),
+        ("--cem-child", ("cem_plans_per_s", "cem_plans_per_s_amortized"), 300),
+        ("--agent-act-child", ("agent_act_plans_per_s",), 240),
+        ("--closed-loop-child", ("closed_loop_plans_per_s",), 240),
+        ("--pallas-child", ("pallas_steps_per_s", "pallas_bf16_steps_per_s"), 240),
     ]
-    for flag, sentinel, budget in pieces:
+    for flag, sentinels, budget in pieces:
         for _attempt in range(3):
             remaining = deadline - time.monotonic()
             if remaining < 45:
@@ -570,13 +593,14 @@ def main() -> None:
             if got:
                 fresh.update(got)
                 state.update(got)
-                state["ts_" + sentinel] = time.strftime("%Y-%m-%dT%H:%M:%S")
+                state["ts_" + sentinels[0]] = time.strftime("%Y-%m-%dT%H:%M:%S")
                 _save_state(state)
-            if sentinel in got:
+            if all(s in got for s in sentinels):
                 break
     measured = dict(state)
     measured.update(fresh)
     torch_steps = bench_torch_cpu()
+    baseline_steps = torch_steps  # matched-era denominator; replaced if cached
 
     if "device_steps_per_s" in fresh:
         primary = fresh["device_steps_per_s"]
@@ -594,20 +618,44 @@ def main() -> None:
         mode = "dispatch-bound"
     else:
         # every child hit the remote-compile-timeout wall across all retries;
-        # report the most recent stable on-hardware measurement with a flag
-        primary, plans, mode = 89_366_000.0, 372.0, "cached(compile-timeout)"
+        # report the committed provenanced last-measured artifact (device kind,
+        # timestamp, and the torch baseline measured in the SAME era, so the
+        # ratio is not a stale numerator over a fresh denominator)
+        last = _load_last_measured()
+        primary = float(last.get("device_steps_per_s", 0.0))
+        plans = float(last.get("device_plans_per_s", 0.0))
+        mode = f"cached(last-measured {last.get('ts', 'unknown')})"
+        baseline_steps = float(
+            last.get("torch_cpu_baseline_steps_per_s", torch_steps) or torch_steps
+        )
+        # sub-metrics come from the same provenanced artifact (mode already
+        # flags the era); anything measured this round still wins
+        for k, v in last.items():
+            if k not in ("provenance", "ts"):
+                measured.setdefault(k, v)
 
     # the full-horizon weight-stationary kernel is a production-usable opt-in
     # (gaussian_mlp_ensemble_pallas); if it measured faster than the XLA path
-    # on this hardware, it is the headline number
-    best_pallas = max(
+    # on this hardware, it is the headline number — but only a FRESH pallas
+    # number may headline unflagged; a prior-run one carries its provenance
+    # in the mode string (ADVICE r4: no stale kernel number on a fresh-looking
+    # report)
+    best_pallas_fresh = max(
+        float(fresh.get("pallas_steps_per_s", 0.0) or 0.0),
+        float(fresh.get("pallas_bf16_steps_per_s", 0.0) or 0.0),
+    )
+    best_pallas_state = max(
         float(measured.get("pallas_steps_per_s", 0.0) or 0.0),
         float(measured.get("pallas_bf16_steps_per_s", 0.0) or 0.0),
     )
-    if best_pallas > primary:
-        primary = best_pallas
+    if best_pallas_fresh > primary:
+        primary = best_pallas_fresh
         plans = primary / TRANSITIONS_PER_PLAN
         mode += "+pallas"
+    elif best_pallas_state > primary:
+        primary = best_pallas_state
+        plans = primary / TRANSITIONS_PER_PLAN
+        mode += "+pallas(prior-run)"
 
     # speed-of-light accounting: achieved matmul FLOP/s through the rollout and
     # the fraction of the chip's bf16 peak it represents (VERDICT: report MFU)
@@ -616,7 +664,9 @@ def main() -> None:
     roofline = {}
     kind = _probe_device_kind()
     if kind is None:
-        kind = state.get("device_kind")  # probed on this hardware earlier
+        # probed on this hardware earlier this round, else the provenanced
+        # last-measured artifact (only consulted when primary comes from it)
+        kind = state.get("device_kind") or measured.get("device_kind")
     else:
         state["device_kind"] = kind
         _save_state(state)
@@ -629,7 +679,7 @@ def main() -> None:
         "metric": "imagined_rollout_steps_per_s",
         "value": round(primary),
         "unit": "transitions/s",
-        "vs_baseline": round(primary / torch_steps, 2),
+        "vs_baseline": round(primary / baseline_steps, 2),
         "extra": {
             "mode": mode,
             "plans_per_s": round(plans, 2),
@@ -671,22 +721,14 @@ def main() -> None:
                 if roofline
                 else None
             ),
-            "torch_cpu_baseline_steps_per_s": round(torch_steps),
+            # the baseline used for vs_baseline (the same-era torch number
+            # when primary is cached; this run's fresh measurement otherwise)
+            "torch_cpu_baseline_steps_per_s": round(baseline_steps),
+            "torch_cpu_fresh_steps_per_s": round(torch_steps),
             "config": f"pop{POPULATION}x{PARTICLES}p_h{HORIZON}_E{ENSEMBLE}e5_rotate",
-            # device throughput measured on this chip with the amortized
-            # K=32-plans-in-one-program method and the shard-space fast rollout
-            # (models/fast_rollout.py): the remote-compile service is erratic
-            # enough that the amortized child can time out; this records the last
-            # verified on-hardware figures per configuration (2026-08-20):
-            #   rotate f32 86.6M | rotate bf16 87.0M | sort f32 50.2M | sort bf16 66.4M
-            #   fused Pallas MLP+Gaussian kernel: 64.7M — an honest NEGATIVE
-            #   result: the per-(member,tile) kernel launches reload the weight
-            #   stack from HBM each rollout step and lose to XLA's fused einsum
-            #   chain at these shapes; the kernel stays opt-in
-            #   (gaussian_mlp_ensemble_pallas) with room to tune tiling.
-            #   closed-loop full-CEM MPC driver: 84.8 plans/s (11x the 7.5/s
-            #   per-dispatch wall from BENCH_r01).
-            "device_steps_per_s_last_verified": 86_592_000,
+            # per-configuration history of verified on-hardware figures lives
+            # in the committed bench_state_last_measured.json (provenance +
+            # timestamps) and docs/PERF_NOTES.md — not as constants here
         },
     }
     print(json.dumps(result))

@@ -44,7 +44,13 @@ def main() -> None:
     env, *_ = create_handler(cfg).make_env(cfg)
     agent = load_agent(run_dir, env)
 
-    trial_length = int(cfg.overrides.get("trial_length", 0) or 0)
+    # episode cap: trial_length when the config has one, else a LAST-RESORT
+    # hard cap — some envs (the no-TimeLimit halfcheetah variants) never
+    # terminate on their own and the while-loop would not exit (ADVICE r4).
+    # Deliberately NOT epoch_length: MBPO configs carry epoch_length=250 while
+    # their gym envs have a 1000-step TimeLimit, and capping early would change
+    # the committed re-eval numbers (e.g. InvertedPendulum 1000.0).
+    trial_length = int(cfg.overrides.get("trial_length", 0) or 0) or 10_000
     returns = []
     for ep in range(episodes):
         obs, _ = env.reset(seed=seed + ep)

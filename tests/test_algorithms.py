@@ -94,6 +94,7 @@ def _pets_cfg(extra_overrides=()):
     return cfg
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("model_kind", ["gaussian_ensemble", "basic_ensemble"])
 def test_pets_mock_line_env(model_kind, tmp_path):
     extra = []
@@ -120,6 +121,7 @@ def test_pets_mock_line_env(model_kind, tmp_path):
     assert max_reward > _TARGET_REWARD, max_reward
 
 
+@pytest.mark.slow
 def test_pets_icem_mock_line_env(tmp_path):
     cfg = _pets_cfg(["action_optimizer=icem"])
     # mirror the reference's iCEM test hyperparameters (test_algorithms.py:224-235)
@@ -138,6 +140,7 @@ def test_pets_icem_mock_line_env(tmp_path):
     assert max_reward > _TARGET_REWARD, max_reward
 
 
+@pytest.mark.slow
 def test_pets_mppi_mock_line_env(tmp_path):
     cfg = _pets_cfg(["action_optimizer=mppi"])
     cfg.overrides["mppi_num_iters"] = 5
@@ -153,6 +156,7 @@ def test_pets_mppi_mock_line_env(tmp_path):
     assert max_reward > _TARGET_REWARD, max_reward
 
 
+@pytest.mark.slow
 def test_mbpo_mock_line_env(tmp_path):
     cfg = load_config(
         _CONF_DIR,

@@ -271,3 +271,83 @@ def test_fast_rollout_pallas_kernel_wiring(monkeypatch):
     assert calls["n"] >= 1, "fused kernel was never called"
     expected = horizon * float(MEMBER_VALUES.mean())
     np.testing.assert_allclose(np.asarray(values), expected, rtol=1e-3)
+
+
+def test_full_horizon_kernel_statistical_agreement(monkeypatch):
+    """Statistical-agreement pin for the full-horizon kernel's tile-granular
+    member rotation (ADVICE r4): on a FIXED random model, per-sequence return
+    statistics over many independent rollout keys must agree between the
+    kernel branch and the rolled-carry fallback — unbiasedness (equal means
+    within standard error) plus non-inflation (the kernel's stratified row
+    layout must not produce a higher estimator variance than the rolled
+    carry). Sampling noise is neutralized (tight logvar bounds / mean-path
+    kernel) so the statistic isolates the member-assignment schedule, which is
+    exactly where the two schedules differ."""
+    import mbrl_tpu.models.fast_rollout as fr
+    import mbrl_tpu.ops.pallas_kernels as pk
+    from mbrl_tpu.envs.termination_fns import no_termination
+
+    monkeypatch.setattr(fr, "_kernel_platform_ok", lambda: True)
+    orig = pk.fused_rollout_returns
+    called = {}
+
+    def interp(*args, **kwargs):
+        called["yes"] = True
+        kwargs["interpret"] = True
+        kwargs["sample"] = False  # mean path: hardware PRNG needs a real TPU
+        return orig(*args, **kwargs)
+
+    monkeypatch.setattr(pk, "fused_rollout_returns", interp)
+
+    def build(use_pallas):
+        model = GaussianMLP(
+            OBS_DIM + ACT_DIM, OBS_DIM + 1, num_layers=2, ensemble_size=ENSEMBLE,
+            hid_size=16, propagation_method="random_model",
+            rollout_shuffle="rotate", use_pallas=use_pallas, pallas_tile=8,
+        )
+        params = model.init(jax.random.PRNGKey(7))
+        params["elite"] = jnp.arange(ENSEMBLE, dtype=jnp.int32)
+        # tight logvar bounds: the fallback's Gaussian draw becomes ~exp(-10)
+        # noise, so both paths are effectively mean rollouts and the only
+        # stochasticity left is the member-assignment schedule
+        params["min_logvar"] = -20.0 * jnp.ones((1, OBS_DIM + 1))
+        params["max_logvar"] = -19.0 * jnp.ones((1, OBS_DIM + 1))
+        wrapper = TransitionRewardModel(
+            model, target_is_delta=True, normalize=False, learned_rewards=True
+        )
+        return ModelEnv(wrapper, no_termination), {
+            "params": params, "normalizer": None,
+        }
+
+    pop, horizon, particles = 4, 5, 16
+    seqs = 0.3 * jax.random.normal(jax.random.PRNGKey(1), (pop, horizon, ACT_DIM))
+    obs0 = 0.5 * jnp.ones((OBS_DIM,))
+    n_keys = 32
+    keys = jax.random.split(jax.random.PRNGKey(2), n_keys)
+
+    def sweep(env, state):
+        f = jax.jit(
+            lambda k: env.evaluate_action_sequences(
+                state, seqs, obs0, k, num_particles=particles
+            )
+        )
+        return np.stack([np.asarray(f(k)) for k in keys])  # (n_keys, pop)
+
+    env_k, state_k = build(use_pallas=True)
+    vals_kernel = sweep(env_k, state_k)
+    assert called.get("yes"), "full-horizon kernel branch was not taken"
+    env_f, state_f = build(use_pallas=False)
+    vals_fallback = sweep(env_f, state_f)
+
+    mean_k, mean_f = vals_kernel.mean(0), vals_fallback.mean(0)
+    var_k, var_f = vals_kernel.var(0), vals_fallback.var(0)
+    # unbiasedness: per-sequence means agree within a 5-sigma standard-error
+    # band (both estimators see the same uniform member marginals)
+    se = np.sqrt((var_k + var_f) / n_keys) + 1e-6
+    np.testing.assert_array_less(np.abs(mean_k - mean_f), 5.0 * se + 1e-3)
+    # non-inflation: stratified tiles must not be a worse estimator than the
+    # rolled carry (the docstring claims lower variance; allow slack for the
+    # finite key sample)
+    assert float(var_k.mean()) <= 1.5 * float(var_f.mean()) + 1e-6, (
+        var_k.mean(), var_f.mean(),
+    )
