@@ -25,7 +25,12 @@ from mbrl_tpu.config import load_config, to_dict
 from mbrl_tpu.util.env import create_handler
 
 REPO = pathlib.Path(__file__).resolve().parent.parent
-WORK_DIR = REPO / "exp" / "mbpo_inv_pendulum_cpu"
+# seed-variance runs (VERDICT r4 #10) point this at a per-seed work dir
+import os
+
+WORK_DIR = pathlib.Path(
+    os.environ.get("MBPO_INVPEND_WORK_DIR", REPO / "exp" / "mbpo_inv_pendulum_cpu")
+)
 
 
 def main() -> None:
