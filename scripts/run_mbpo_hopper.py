@@ -35,7 +35,10 @@ from mbrl_tpu.config import load_config, to_dict
 from mbrl_tpu.util.env import create_handler
 
 REPO = pathlib.Path(__file__).resolve().parent.parent
-WORK_DIR = REPO / "exp" / "mbpo_hopper_northstar"
+# seed-variance runs (VERDICT r4 weak #5) point this at a per-seed work dir
+WORK_DIR = pathlib.Path(
+    os.environ.get("MBPO_HOPPER_WORK_DIR", REPO / "exp" / "mbpo_hopper_northstar")
+)
 
 
 def main() -> None:
