@@ -38,6 +38,7 @@ from mbrl_tpu.util import common as util_common
 from mbrl_tpu.util.device_buffer import DeviceReplayBuffer, DeviceTransitionDataset
 from mbrl_tpu.util.logger import Logger
 from mbrl_tpu.util.video import VideoRecorder
+from mbrl_tpu.util.runlock import run_lock
 
 MBPO_LOG_FORMAT = mbrl_tpu.constants.EVAL_LOG_FORMAT + [
     ("epoch", "E", "int"),
@@ -161,6 +162,19 @@ def evaluate(env, agent: SACAgent, num_episodes: int, video_recorder=None) -> fl
 
 
 def train(
+    env: gym.Env,
+    test_env: gym.Env,
+    termination_fn,
+    cfg: Config,
+    silent: bool = False,
+    work_dir: Optional[str] = None,
+) -> np.float32:
+    # one trainer per work dir (util/runlock.py)
+    with run_lock(work_dir or os.getcwd()):
+        return _train_impl(env, test_env, termination_fn, cfg, silent, work_dir)
+
+
+def _train_impl(
     env: gym.Env,
     test_env: gym.Env,
     termination_fn,

@@ -27,11 +27,26 @@ from mbrl_tpu.parallel import make_parallel_context
 from mbrl_tpu.planning import RandomAgent, create_trajectory_optim_agent_for_model
 from mbrl_tpu.util import common as util_common
 from mbrl_tpu.util.logger import Logger
+from mbrl_tpu.util.runlock import run_lock
 
 EVAL_LOG_FORMAT = mbrl_tpu.constants.EVAL_LOG_FORMAT
 
 
 def train(
+    env,
+    termination_fn,
+    reward_fn,
+    cfg: Config,
+    silent: bool = False,
+    work_dir: Optional[str] = None,
+) -> np.float32:
+    # one trainer per work dir: a second concurrent process would interleave
+    # checkpoints/results rows from a diverging lineage (util/runlock.py)
+    with run_lock(work_dir or os.getcwd()):
+        return _train_impl(env, termination_fn, reward_fn, cfg, silent, work_dir)
+
+
+def _train_impl(
     env,
     termination_fn,
     reward_fn,

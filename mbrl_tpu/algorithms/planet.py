@@ -28,6 +28,7 @@ from mbrl_tpu.planning import RandomAgent, create_trajectory_optim_agent_for_mod
 from mbrl_tpu.util import checkpoint as ckpt
 from mbrl_tpu.util import common as util_common
 from mbrl_tpu.util.logger import Logger
+from mbrl_tpu.util.runlock import run_lock
 
 METRICS_LOG_FORMAT = [
     ("observations_loss", "OL", "float"),
@@ -38,6 +39,17 @@ METRICS_LOG_FORMAT = [
 
 
 def train(
+    env: gym.Env,
+    cfg: Config,
+    silent: bool = False,
+    work_dir: Union[Optional[str], pathlib.Path] = None,
+) -> np.float32:
+    # one trainer per work dir (util/runlock.py)
+    with run_lock(work_dir if work_dir is not None else os.getcwd()):
+        return _train_impl(env, cfg, silent, work_dir)
+
+
+def _train_impl(
     env: gym.Env,
     cfg: Config,
     silent: bool = False,

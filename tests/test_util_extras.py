@@ -71,3 +71,64 @@ def test_checkpoint_sentinel_none_allowed_inf_rejected(tmp_path):
 
     with pytest.raises(ckpt.NonFiniteCheckpointError):
         ckpt.save_checkpoint(tmp_path, {"x": np.float32(-np.inf)}, step=2)
+
+
+class TestRunLock:
+    """Advisory per-work-dir trainer lock (util/runlock.py): a second live
+    trainer must be refused before it touches any artifact; stale locks from
+    dead processes are stolen so checkpointed resumes stay one-command."""
+
+    def test_second_acquisition_by_live_holder_refused(self, tmp_path):
+        from mbrl_tpu.util.runlock import RunLockedError, run_lock
+
+        (tmp_path / ".run_lock").write_text("1")  # pid 1: always alive
+        import pytest
+
+        with pytest.raises(RunLockedError, match="locked by live pid 1"):
+            with run_lock(tmp_path):
+                pass
+
+    def test_stale_lock_is_stolen_and_released(self, tmp_path):
+        import os
+
+        from mbrl_tpu.util.runlock import run_lock
+
+        (tmp_path / ".run_lock").write_text("999999999")  # dead pid
+        with run_lock(tmp_path):
+            assert (tmp_path / ".run_lock").read_text() == str(os.getpid())
+        assert not (tmp_path / ".run_lock").exists()
+
+    def test_reentrant_within_one_process(self, tmp_path):
+        from mbrl_tpu.util.runlock import run_lock
+
+        with run_lock(tmp_path):
+            with run_lock(tmp_path):  # chunked resumes in one process
+                pass
+
+    def test_released_on_training_exception(self, tmp_path):
+        import pytest
+
+        from mbrl_tpu.util.runlock import run_lock
+
+        with pytest.raises(ValueError):
+            with run_lock(tmp_path):
+                raise ValueError("training blew up")
+        assert not (tmp_path / ".run_lock").exists()
+
+    def test_algorithm_entry_points_guarded(self, tmp_path):
+        """All three train() wrappers refuse a locked work dir BEFORE touching
+        env/cfg (so the guard runs first — args can be None here)."""
+        import pytest
+
+        import mbrl_tpu.algorithms.mbpo as mbpo
+        import mbrl_tpu.algorithms.pets as pets
+        import mbrl_tpu.algorithms.planet as planet
+        from mbrl_tpu.util.runlock import RunLockedError
+
+        (tmp_path / ".run_lock").write_text("1")
+        with pytest.raises(RunLockedError):
+            pets.train(None, None, None, None, work_dir=str(tmp_path))
+        with pytest.raises(RunLockedError):
+            mbpo.train(None, None, None, None, work_dir=str(tmp_path))
+        with pytest.raises(RunLockedError):
+            planet.train(None, None, work_dir=str(tmp_path))
