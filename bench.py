@@ -593,9 +593,13 @@ def main() -> None:
             if got:
                 fresh.update(got)
                 state.update(got)
-                state["ts_" + sentinels[0]] = time.strftime("%Y-%m-%dT%H:%M:%S")
                 _save_state(state)
             if all(s in got for s in sentinels):
+                # the piece's timestamp marks a COMPLETE measurement only —
+                # partial output (e.g. pallas f32 without bf16) must not look
+                # freshly verified in the state file
+                state["ts_" + sentinels[0]] = time.strftime("%Y-%m-%dT%H:%M:%S")
+                _save_state(state)
                 break
     measured = dict(state)
     measured.update(fresh)
@@ -622,17 +626,29 @@ def main() -> None:
         # timestamp, and the torch baseline measured in the SAME era, so the
         # ratio is not a stale numerator over a fresh denominator)
         last = _load_last_measured()
-        primary = float(last.get("device_steps_per_s", 0.0))
-        plans = float(last.get("device_plans_per_s", 0.0))
-        mode = f"cached(last-measured {last.get('ts', 'unknown')})"
-        baseline_steps = float(
-            last.get("torch_cpu_baseline_steps_per_s", torch_steps) or torch_steps
-        )
-        # sub-metrics come from the same provenanced artifact (mode already
-        # flags the era); anything measured this round still wins
-        for k, v in last.items():
-            if k not in ("provenance", "ts"):
-                measured.setdefault(k, v)
+        if "device_steps_per_s" in last:
+            primary = float(last["device_steps_per_s"])
+            plans = float(last.get("device_plans_per_s", 0.0))
+            mode = f"cached(last-measured {last.get('ts', 'unknown')})"
+            baseline_steps = float(
+                last.get("torch_cpu_baseline_steps_per_s", torch_steps)
+                or torch_steps
+            )
+            # sub-metrics come from the same provenanced artifact (mode
+            # already flags the era); anything measured this round still wins
+            for k, v in last.items():
+                if k not in ("provenance", "ts"):
+                    measured.setdefault(k, v)
+        else:
+            # artifact missing/corrupt AND nothing measurable: report zeros
+            # LOUDLY rather than invent numbers
+            primary, plans = 0.0, 0.0
+            mode = "unmeasured(no-backend,no-artifact)"
+            print(
+                "bench: backend dead and bench_state_last_measured.json "
+                "missing/corrupt — reporting zero throughput",
+                file=sys.stderr,
+            )
 
     # the full-horizon weight-stationary kernel is a production-usable opt-in
     # (gaussian_mlp_ensemble_pallas); if it measured faster than the XLA path
@@ -652,10 +668,15 @@ def main() -> None:
         primary = best_pallas_fresh
         plans = primary / TRANSITIONS_PER_PLAN
         mode += "+pallas"
+        baseline_steps = torch_steps  # this-era numerator, this-era baseline
     elif best_pallas_state > primary:
         primary = best_pallas_state
         plans = primary / TRANSITIONS_PER_PLAN
         mode += "+pallas(prior-run)"
+        # state-file pallas values were measured this round (the state file
+        # is same-round scratch) — pair them with this run's torch baseline,
+        # not a possibly-older artifact era
+        baseline_steps = torch_steps
 
     # speed-of-light accounting: achieved matmul FLOP/s through the rollout and
     # the fraction of the chip's bf16 peak it represents (VERDICT: report MFU)

@@ -10,12 +10,19 @@ Hydra jobs), but a resumable framework needs one.
 ``run_lock(work_dir)`` is a context manager used by the PETS/MBPO/PlaNet
 ``train()`` entry points:
 
-- writes ``<work_dir>/.run_lock`` with this process's pid via O_EXCL;
+- atomically creates ``<work_dir>/.run_lock`` containing this process's pid
+  (write-to-temp + ``os.link``, so the file can never be observed empty);
 - if the file exists and its pid is a LIVE process, raises
   ``RunLockedError`` (the second trainer stops before touching any artifact);
 - if the pid is dead (crash/kill), the stale lock is stolen — checkpointed
-  resumes keep their one-command workflow;
-- the lock is removed on context exit (including on training exceptions).
+  resumes keep their one-command workflow. Stealing unlinks and RETRIES the
+  atomic create, so two simultaneous stealers race on the create and exactly
+  one wins;
+- re-entrant within one process (chunked sessions call ``train()`` per
+  chunk): only the OUTERMOST acquisition removes the file on exit, an inner
+  nested context never unlocks a still-training outer one;
+- if the lock can neither be acquired nor stolen, the context REFUSES to run
+  (no silent unguarded fallthrough).
 
 The lock is advisory and per-host (pid semantics); multi-host runs coordinate
 through the distributed backend instead (parallel/multihost.py).
@@ -26,6 +33,7 @@ import contextlib
 import errno
 import os
 import pathlib
+import tempfile
 from typing import Iterator, Union
 
 
@@ -52,41 +60,67 @@ def _read_pid(path: pathlib.Path) -> int:
         return 0
 
 
+def _try_create(path: pathlib.Path, pid: int) -> bool:
+    """Atomically create ``path`` already containing ``pid``; False if it
+    exists. Write-to-temp + hard-link means no reader can ever observe an
+    empty/partial lock file (the O_EXCL-then-write scheme had a window where
+    a concurrent process read pid 0 and stole a live lock)."""
+    fd, tmp = tempfile.mkstemp(dir=str(path.parent), prefix=".run_lock_tmp")
+    try:
+        with os.fdopen(fd, "w") as f:
+            f.write(str(pid))
+        try:
+            os.link(tmp, path)
+            return True
+        except OSError as e:
+            if e.errno == errno.EEXIST:
+                return False
+            raise
+    finally:
+        with contextlib.suppress(OSError):
+            os.unlink(tmp)
+
+
 @contextlib.contextmanager
 def run_lock(work_dir: Union[str, os.PathLike]) -> Iterator[None]:
     """Hold the advisory lock on ``work_dir`` for the duration of a training
-    run; raise :class:`RunLockedError` if a live process already holds it."""
+    run; raise :class:`RunLockedError` if a live process already holds it or
+    the lock cannot be (re)claimed."""
     work_dir = pathlib.Path(work_dir)
     work_dir.mkdir(parents=True, exist_ok=True)
     path = work_dir / ".run_lock"
     me = os.getpid()
-    for _attempt in range(2):
-        try:
-            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-            with os.fdopen(fd, "w") as f:
-                f.write(str(me))
+    created = False
+    for _attempt in range(4):
+        if _try_create(path, me):
+            created = True
             break
-        except OSError as e:
-            if e.errno != errno.EEXIST:
-                raise
-            holder = _read_pid(path)
-            if holder == me:
-                break  # re-entrant within one process (e.g. chunked resumes)
-            if _pid_alive(holder):
-                raise RunLockedError(
-                    f"work dir {work_dir} is locked by live pid {holder} "
-                    f"({path}); a second concurrent trainer would interleave "
-                    "its checkpoints and results.csv rows with the first — "
-                    "stop that process (or wait for it) before resuming here"
-                ) from None
-            # stale lock from a dead process: steal it
-            with contextlib.suppress(OSError):
-                path.unlink()
+        holder = _read_pid(path)
+        if holder == me:
+            break  # re-entrant within one process (chunked resumes)
+        if _pid_alive(holder):
+            raise RunLockedError(
+                f"work dir {work_dir} is locked by live pid {holder} "
+                f"({path}); a second concurrent trainer would interleave "
+                "its checkpoints and results.csv rows with the first — "
+                "stop that process (or wait for it) before resuming here"
+            )
+        # stale lock from a dead process (or unreadable garbage): steal it,
+        # then RETRY the atomic create — of two simultaneous stealers only
+        # one link() succeeds, the other loops and sees the winner's live pid
+        with contextlib.suppress(OSError):
+            path.unlink()
+    else:
+        raise RunLockedError(
+            f"could not acquire {path} after repeated steal attempts "
+            "(filesystem refusing unlink/create?) — refusing to train "
+            "unguarded"
+        )
     try:
         yield
     finally:
-        # only the holder removes its own lock (steal-then-crash races leave
-        # at worst a stale file that the next acquisition reclaims)
-        if _read_pid(path) == me:
+        # only the outermost acquisition unlocks; a nested inner context
+        # (created=False) must not unlock a still-training outer one
+        if created and _read_pid(path) == me:
             with contextlib.suppress(OSError):
                 path.unlink()

@@ -15,11 +15,17 @@ LOG=exp/r5_chip_session.log
 
 while true; do
   PID=$(cat "$PIDFILE" 2>/dev/null || true)
-  if [ -n "$PID" ] && kill -0 "$PID" 2>/dev/null; then
+  # alive AND actually our session (a recycled pid from a stale pidfile must
+  # not make the supervisor sleep forever next to a dead session)
+  if [ -n "$PID" ] && kill -0 "$PID" 2>/dev/null \
+     && tr '\0' ' ' < "/proc/$PID/cmdline" 2>/dev/null | grep -q r4_chip_session; then
     sleep 300
     continue
   fi
-  if grep -q "chip session end" "$LOG" 2>/dev/null; then
+  # completed only if the end marker appears AFTER the latest session header
+  # (the log is append-mode and may hold markers from previous sessions)
+  if awk '/r4 chip session: phases/ {done=0} /chip session end/ {done=1} END {exit !done}' \
+      "$LOG" 2>/dev/null; then
     echo "supervisor: session completed; exiting ($(date -u +%H:%M:%S))"
     break
   fi

@@ -7,6 +7,7 @@ Usage: python scripts/run_mbpo_inv_pendulum_cpu.py [extra overrides...]
 """
 from __future__ import annotations
 
+import os
 import pathlib
 import sys
 
@@ -26,8 +27,6 @@ from mbrl_tpu.util.env import create_handler
 
 REPO = pathlib.Path(__file__).resolve().parent.parent
 # seed-variance runs (VERDICT r4 #10) point this at a per-seed work dir
-import os
-
 WORK_DIR = pathlib.Path(
     os.environ.get("MBPO_INVPEND_WORK_DIR", REPO / "exp" / "mbpo_inv_pendulum_cpu")
 )

@@ -99,10 +99,39 @@ class TestRunLock:
         assert not (tmp_path / ".run_lock").exists()
 
     def test_reentrant_within_one_process(self, tmp_path):
+        import os
+
         from mbrl_tpu.util.runlock import run_lock
 
         with run_lock(tmp_path):
             with run_lock(tmp_path):  # chunked resumes in one process
+                pass
+            # the INNER exit must not unlock the still-training outer context
+            # (a second process could otherwise sneak in mid-run)
+            assert (tmp_path / ".run_lock").read_text() == str(os.getpid())
+        assert not (tmp_path / ".run_lock").exists()
+
+    def test_lock_file_is_never_observably_empty(self, tmp_path):
+        """The atomic temp+link create means a concurrent reader can never
+        see an empty lock file (whose pid-0 parse made live locks stealable)."""
+        from mbrl_tpu.util import runlock
+
+        created = runlock._try_create(tmp_path / ".run_lock", 4242)
+        assert created
+        assert (tmp_path / ".run_lock").read_text() == "4242"
+        assert not runlock._try_create(tmp_path / ".run_lock", 77)
+
+    def test_unstealable_lock_refuses_rather_than_running_unguarded(
+        self, tmp_path, monkeypatch
+    ):
+        import pytest
+
+        from mbrl_tpu.util import runlock
+
+        (tmp_path / ".run_lock").write_text("999999999")  # dead pid
+        monkeypatch.setattr(runlock, "_try_create", lambda *a: False)
+        with pytest.raises(runlock.RunLockedError, match="refusing to train"):
+            with runlock.run_lock(tmp_path):
                 pass
 
     def test_released_on_training_exception(self, tmp_path):
