@@ -493,8 +493,10 @@ class TrajectoryOptimizerAgent(Agent):
     def use_prng_impl(self, impl: str) -> None:
         """Re-seed the agent's PRNG with a specific implementation (e.g.
         "rbg": TPU-cheap counter-based bits vs the default threefry, whose
-        generation cost is a measured ~45% of a rollout step). All keys split
-        from this one inherit the impl through the whole planning program."""
+        generation cost is a measured ~12% of a rollout step — switching to
+        rbg recovers about half of that; see docs/PERF_NOTES.md, r5c
+        decomposition). All keys split from this one inherit the impl
+        through the whole planning program."""
         self._key = jax.random.key(self._seed, impl=impl)
         self._act_prog = None
         self._act_batch_prog = None

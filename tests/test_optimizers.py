@@ -322,3 +322,30 @@ def test_agent_act_optimizer_callback():
     agent.act(np.zeros(3), optimizer_callback=lambda p, v, i: seen.append(int(i)))
     jax.effects_barrier()
     assert seen == [0, 1, 2]
+
+
+def test_agent_use_prng_impl_rbg():
+    """`algorithm.planning_prng_impl=rbg` path (PERF_NOTES r5c decomposition:
+    threefry sampling is ~12% of a rollout step; rbg keys recover roughly
+    half). The rbg impl must thread through the whole jitted planning
+    program — act() still plans, caches, and solves the toy objective."""
+    cem = CEMOptimizer(4, 0.1, 60, [[-1.0]] * 4, [[1.0]] * 4, alpha=0.1)
+    agent = TrajectoryOptimizerAgent(
+        cem, action_lb=[-1.0], action_ub=[1.0], planning_horizon=4, replan_freq=2
+    )
+
+    def eval_fn(action_sequences, eval_state, obs, key):
+        # consume the key the way a stochastic model rollout would
+        noise = jax.random.normal(key, (action_sequences.shape[0],)) * 1e-3
+        return -jnp.square(action_sequences - 0.25).sum(axis=(1, 2)) + noise
+
+    agent.set_trajectory_eval_fn(eval_fn)
+    agent.use_prng_impl("rbg")
+    assert str(jax.random.key_impl(agent._key)) == "rbg"
+    a1 = agent.act(np.zeros(2, np.float32))
+    assert a1.shape == (1,)
+    np.testing.assert_allclose(a1, 0.25, atol=0.15)
+    # keys split inside the program inherit the impl; replan still works
+    agent.act(np.ones(2, np.float32))
+    assert agent._act_counter >= 1
+    assert np.isfinite(np.asarray(a1)).all()
